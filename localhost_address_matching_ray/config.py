@@ -1,0 +1,78 @@
+"""Pipeline configuration.
+
+The analog of the reference's generator/normalizer config surface
+(``data/synth/config/groupA2E_config.py:4-66``, ``normalize_address.py:29-49``,
+NER CLI flags ``ner_address_parser.py:156-166``): one plain dataclass that
+carries every knob a stage needs, so stages stay pure functions of
+(batch, config).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class LangConfig:
+    """Per-language feature config — the gazetteer analog (SURVEY.md §1.1).
+
+    The reference constrains district lookup by province
+    (``static_parser.py:67-72``); we constrain shingling/stop-token rules by
+    ``lang`` the same hierarchical way.
+    """
+
+    lang: str
+    comment_styles: tuple[str, ...] = ()
+    stop_tokens: tuple[str, ...] = ()
+    shingle_k: int = 3
+
+
+#: The broadcast dimension table (FIXTURES.md §5). Small by construction —
+#: it rides into actor state via ``fn_constructor_args``, never shuffled.
+DEFAULT_LANG_CONFIGS: dict[str, LangConfig] = {
+    "python": LangConfig("python", ("#",), ("def", "return", "import", "from", "pass"), 3),
+    "javascript": LangConfig("javascript", ("//", "/*"), ("function", "return", "const", "var", "let"), 3),
+    "java": LangConfig("java", ("//", "/*"), ("public", "private", "static", "void", "return"), 3),
+    "go": LangConfig("go", ("//",), ("func", "return", "package", "import", "var"), 3),
+    "c": LangConfig("c", ("//", "/*"), ("int", "return", "void", "static", "include"), 3),
+    "markdown": LangConfig("markdown", (), (), 3),
+}
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end linkage pipeline knobs.
+
+    Defaults are sized for the single-node sandbox but chosen to hold at
+    cluster scale: batch sizes bound per-task heap, ``max_block_rows`` bounds
+    the O(k²) in-block pair blowup, and hot keys above it are salted
+    (north_rule: "explicit salting of hot keys").
+    """
+
+    # --- MinHash / LSH ---
+    num_perm: int = 128          # MinHash signature length
+    lsh_bands: int = 16          # bands (rows_per_band = num_perm // lsh_bands)
+    shingle_k: int = 3           # token-shingle width
+
+    # --- blocking / skew ---
+    max_block_rows: int = 512    # blocks above this are salted into sub-blocks
+    max_pairs_per_block: int = 200_000  # hard O(k²) guard; overflow is logged
+    salt_buckets: int = 8        # sub-blocks per hot key
+
+    # --- scoring / clustering ---
+    jaccard_threshold: float = 0.72   # token-set Jaccard edge threshold
+    stem_sim_threshold: float = 0.90  # Jaro-Winkler path-stem assist threshold
+
+    # --- execution ---
+    batch_size: int = 4096
+    feature_concurrency: int = 4      # actor-pool size for the feature stage
+    checkpoint_dir: str | None = None # None = no checkpointing
+    pipeline_version: str = "v1"      # invalidates stale checkpoints (map.py:175 lesson)
+
+    lang_configs: dict[str, LangConfig] = field(
+        default_factory=lambda: dict(DEFAULT_LANG_CONFIGS)
+    )
+
+    @property
+    def rows_per_band(self) -> int:
+        return self.num_perm // self.lsh_bands

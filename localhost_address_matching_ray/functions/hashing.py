@@ -1,0 +1,162 @@
+"""Hashing kernels: sha256 row ids/invariants, MinHash, SimHash, rolling
+fingerprints.
+
+``content_sha256`` generalizes the reference's file-fingerprint pattern
+(``data/ptt_data/map.py:160-166`` — sha256 used to key the gazetteer cache)
+into the per-row invariant required by BASELINE.json's ``input_hint``.
+
+All hashes are deterministic across processes/machines (hashlib / fixed-seed
+numpy), never Python's salted ``hash()``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE_P = (1 << 61) - 1  # prime modulus for universal hashing
+
+
+def sha256_hex(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def sha256_hex_array(texts) -> list[str]:
+    """Vectorized-enough sha256 (hashlib is C; ~1M short rows/s/core).
+    SQL equivalent: ``sha256(text)`` (DuckDB returns lowercase hex)."""
+    h = hashlib.sha256
+    return [h(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+def row_id_array(repos, paths, commits) -> list[str]:
+    """Stable row id = first 16 hex chars of sha256('repo|path|commit')
+    (FIXTURES.md §2). SQL: ``substr(sha256(repo||'|'||path||'|'||commit),1,16)``."""
+    h = hashlib.sha256
+    return [
+        h(f"{r}|{p}|{c}".encode("utf-8")).hexdigest()[:16]
+        for r, p, c in zip(repos, paths, commits)
+    ]
+
+
+def _token_hash64(token: str) -> int:
+    """Stable 64-bit token hash (first 8 bytes of sha1)."""
+    return int.from_bytes(hashlib.sha1(token.encode("utf-8")).digest()[:8], "big")
+
+
+class TokenHasher:
+    """Memoizing token→uint64 hasher. Corpora have heavy token reuse, so the
+    per-unique-token sha1 cost amortizes to ~0 per row. One instance per
+    actor (state pattern A4, SURVEY.md §2.3)."""
+
+    def __init__(self) -> None:
+        self._cache: dict[str, int] = {}
+
+    def hash_tokens(self, tokens: list[str]) -> np.ndarray:
+        cache = self._cache
+        out = np.empty(len(tokens), dtype=np.uint64)
+        for i, t in enumerate(tokens):
+            v = cache.get(t)
+            if v is None:
+                v = cache[t] = _token_hash64(t)
+            out[i] = v
+        return out
+
+
+def shingle_hashes(tokens: list[str], k: int, hasher: TokenHasher) -> np.ndarray:
+    """Distinct k-token-shingle hashes (uint64). Shingles are hashed by
+    combining token hashes with fixed odd multipliers — deterministic and
+    allocation-light (no string joins)."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    th = hasher.hash_tokens(tokens)
+    if n < k:
+        # short doc: one shingle over all tokens
+        k = n
+    acc = th[: n - k + 1].copy()
+    for j in range(1, k):
+        acc = acc * np.uint64(0x9E3779B97F4A7C15) + th[j : n - k + 1 + j]
+    return np.unique(acc)
+
+
+class MinHasher:
+    """MinHash signatures over uint64 shingle sets.
+
+    Universal hashing h_i(x) = (a_i·x + b_i) mod p, p = 2^61−1, with a/b drawn
+    from a fixed-seed generator so signatures are identical on every worker.
+    One instance per actor; ``signature`` is fully vectorized
+    (num_perm × num_shingles numpy broadcast).
+    """
+
+    def __init__(self, num_perm: int = 128, seed: int = 1337) -> None:
+        rng = np.random.RandomState(seed)
+        self.num_perm = num_perm
+        self.a = rng.randint(1, _MERSENNE_P, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE_P, size=num_perm, dtype=np.uint64)
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if len(shingles) == 0:
+            return np.full(self.num_perm, np.uint64(_MERSENNE_P), dtype=np.uint64)
+        # (num_perm, n) broadcast in uint64 modular arithmetic (mod 2^64 wrap
+        # is fine — it stays a deterministic universal-ish family)
+        x = shingles[None, :]
+        hv = (self.a[:, None] * x + self.b[:, None]) % np.uint64(_MERSENNE_P)
+        return hv.min(axis=1)
+
+    def band_keys(self, sig: np.ndarray, bands: int) -> list[str]:
+        """LSH band keys: sha1 of each band's bytes, 12 hex chars."""
+        r = self.num_perm // bands
+        out = []
+        for b in range(bands):
+            digest = hashlib.sha1(sig[b * r : (b + 1) * r].tobytes()).hexdigest()[:12]
+            out.append(f"{b:02d}:{digest}")
+        return out
+
+
+def minhash_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """Unbiased Jaccard estimate from two signatures."""
+    return float(np.mean(sig_a == sig_b))
+
+
+class SimHasher:
+    """64-bit SimHash over token hashes (near-dup by Hamming distance)."""
+
+    def __init__(self) -> None:
+        self._hasher = TokenHasher()
+        self._bitcols = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    def simhash(self, tokens: list[str]) -> int:
+        if not tokens:
+            return 0
+        th = self._hasher.hash_tokens(tokens)
+        # bits matrix (n, 64) in {-1, +1}, summed per column
+        bits = ((th[:, None] & self._bitcols[None, :]) != 0).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(tokens)
+        return int((self._bitcols[votes > 0]).sum())
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def hamming64_arrays(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between two uint64 arrays."""
+    x = a ^ b
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    while True:
+        nz = x != 0
+        if not nz.any():
+            break
+        cnt[nz] += (x[nz] & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return cnt
+
+
+def rolling_fingerprint(text: str, base: int = 1000003, mod: int = (1 << 61) - 1) -> int:
+    """Polynomial rolling hash of the whole string (document fingerprint).
+    Deterministic; not SQL-expressible → its query is rows-only checked."""
+    h = 0
+    for ch in text.encode("utf-8"):
+        h = (h * base + ch) % mod
+    return h

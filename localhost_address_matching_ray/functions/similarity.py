@@ -1,0 +1,120 @@
+"""Similarity kernels for in-block pair scoring.
+
+The reference's matching layer is a stub (``matching/__init__.py``, 0 bytes);
+its closest analogs are longest-match ranking (``static_parser.py:139-147``)
+and suffix-variant resolution (``test/test_static_parser.py:73-87``). Per the
+north_rule we implement real pairwise kernels: token-set Jaccard,
+Levenshtein, Jaro-Winkler, MinHash-estimated Jaccard, cosine.
+
+Definitions deliberately match DuckDB 1.0 builtins so oracle SQL can
+reproduce values bit-for-bit (integer-derived divisions) or to 6 decimals
+(accumulation-order-sensitive ones).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def token_set_jaccard(tokens_a: list[str], tokens_b: list[str]) -> float:
+    """|A∩B| / |A∪B| over distinct tokens. SQL equivalent:
+    ``len(list_intersect(ta, tb)) / len(list_distinct(ta || tb))``
+    — both sides are exact IEEE divisions of the same ints."""
+    sa, sb = set(tokens_a), set(tokens_b)
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def levenshtein(s: str, t: str) -> int:
+    """Classic edit distance (insert/delete/substitute, unit costs) —
+    identical to DuckDB ``levenshtein(s, t)``."""
+    if s == t:
+        return 0
+    if not s:
+        return len(t)
+    if not t:
+        return len(s)
+    if len(s) > len(t):
+        s, t = t, s
+    prev = list(range(len(s) + 1))
+    for j, tc in enumerate(t, 1):
+        cur = [j]
+        for i, sc in enumerate(s, 1):
+            cur.append(min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + (sc != tc)))
+        prev = cur
+    return prev[-1]
+
+
+def jaro(s: str, t: str) -> float:
+    """Jaro similarity (match window floor(max/2)−1, half-transpositions)."""
+    if s == t:
+        return 1.0
+    ls, lt = len(s), len(t)
+    if ls == 0 or lt == 0:
+        return 0.0
+    window = max(ls, lt) // 2 - 1
+    s_match = [False] * ls
+    t_match = [False] * lt
+    m = 0
+    for i, c in enumerate(s):
+        lo, hi = max(0, i - window), min(lt, i + window + 1)
+        for j in range(lo, hi):
+            if not t_match[j] and t[j] == c:
+                s_match[i] = t_match[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    k = trans = 0
+    for i in range(ls):
+        if s_match[i]:
+            while not t_match[k]:
+                k += 1
+            if s[i] != t[k]:
+                trans += 1
+            k += 1
+    trans //= 2
+    return (m / ls + m / lt + (m - trans) / m) / 3.0
+
+
+def jaro_winkler(s: str, t: str, prefix_weight: float = 0.1) -> float:
+    """Jaro-Winkler (common-prefix boost ≤ 4 chars) — DuckDB
+    ``jaro_winkler_similarity`` semantics. Compare rounded to 6 decimals in
+    oracle queries (accumulation order can differ in the last ulp)."""
+    j = jaro(s, t)
+    prefix = 0
+    for a, b in zip(s[:4], t[:4]):
+        if a != b:
+            break
+        prefix += 1
+    return j + prefix * prefix_weight * (1.0 - j)
+
+
+def char_jaccard(s: str, t: str) -> float:
+    """Character-set Jaccard — DuckDB ``jaccard(s, t)`` semantics."""
+    sa, sb = set(s), set(t)
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def cosine_topk(
+    queries: np.ndarray, corpus: np.ndarray, k: int, round_decimals: int = 6
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Brute-force cosine top-k of each query row against a corpus batch.
+
+    Returns (query_idx, corpus_idx, score) flattened arrays, scores rounded
+    to ``round_decimals`` so ranking ties resolve identically to the DuckDB
+    oracle (which also ranks on the rounded value). All float64 matmul.
+    """
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    sims = np.round(qn @ cn.T, round_decimals)  # (nq, nc)
+    k = min(k, sims.shape[1])
+    # stable top-k: sort by (-score, corpus_idx)
+    order = np.lexsort((np.arange(sims.shape[1])[None, :].repeat(len(sims), 0), -sims), axis=1)
+    top = order[:, :k]
+    qi = np.repeat(np.arange(len(sims)), k)
+    ci = top.ravel()
+    return qi, ci, sims[qi, ci]

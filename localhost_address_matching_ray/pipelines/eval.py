@@ -1,0 +1,119 @@
+"""Pairwise evaluation harness + explain diagnostics.
+
+Reference analogs: the seqeval P/R/F1 harness (training nb cells 21/26-28,
+SURVEY.md G6) → pairwise precision/recall/F1 on labeled pairs at fixed
+blocking keys (the BASELINE.json metric, target ≥ 0.99); and the rich
+failure explain report of ``test/test_static_parser.py:89-133`` →
+:func:`explain_pair`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow as pa
+import ray.data
+
+
+@dataclass(frozen=True)
+class PairwiseReport:
+    tp: int
+    fp: int
+    fn: int
+    tn: int
+    per_class: dict[str, dict[str, int]]
+
+    @property
+    def precision(self) -> float:
+        return self.tp / (self.tp + self.fp) if (self.tp + self.fp) else 1.0
+
+    @property
+    def recall(self) -> float:
+        return self.tp / (self.tp + self.fn) if (self.tp + self.fn) else 1.0
+
+    @property
+    def f1(self) -> float:
+        p, r = self.precision, self.recall
+        return 2 * p * r / (p + r) if (p + r) else 0.0
+
+
+def _cluster_lookup(clusters: ray.data.Dataset, ids: set[str]) -> dict[str, str]:
+    """Broadcast-semi-join: filter the cluster table to the labeled ids
+    (vectorized is_in inside map_batches — the ids set is tiny), then
+    collect only those rows."""
+    import pyarrow.compute as pc
+
+    id_arr = pa.array(sorted(ids), pa.string())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["row_id"], value_set=id_arr))
+
+    out = clusters.map_batches(pick, batch_format="pyarrow").take_all()
+    return {r["row_id"]: r["cluster_id"] for r in out}
+
+
+def pairwise_f1(clusters: ray.data.Dataset, labeled_pairs: pa.Table) -> PairwiseReport:
+    """Join predicted co-membership against labeled pairs (at their recorded
+    blocking keys) and report TP/FP/FN/TN overall and per pair_class."""
+    lp = labeled_pairs.to_pydict()
+    ids = set(lp["left_id"]) | set(lp["right_id"])
+    lookup = _cluster_lookup(clusters, ids)
+
+    tp = fp = fn = tn = 0
+    per_class: dict[str, dict[str, int]] = {}
+    for lid, rid, is_match, cls in zip(
+        lp["left_id"], lp["right_id"], lp["is_match"], lp["pair_class"]
+    ):
+        pred = lookup.get(lid) is not None and lookup.get(lid) == lookup.get(rid)
+        cell = per_class.setdefault(cls, {"tp": 0, "fp": 0, "fn": 0, "tn": 0})
+        if pred and is_match:
+            tp += 1; cell["tp"] += 1
+        elif pred and not is_match:
+            fp += 1; cell["fp"] += 1
+        elif not pred and is_match:
+            fn += 1; cell["fn"] += 1
+        else:
+            tn += 1; cell["tn"] += 1
+    return PairwiseReport(tp, fp, fn, tn, per_class)
+
+
+def explain_pair(result: dict[str, ray.data.Dataset], left_id: str, right_id: str) -> dict:
+    """Debug report for one pair: normalized fields, feature presence,
+    estimated similarity, cluster assignments — the analog of the static
+    parser's failure diagnostics (tree sizes / token windows / candidates)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ids = pa.array([left_id, right_id], pa.string())
+
+    def pick(ds: ray.data.Dataset, col: str = "row_id") -> list[dict]:
+        return ds.map_batches(
+            lambda t: t.filter(pc.is_in(t[col], value_set=ids)),
+            batch_format="pyarrow",
+        ).take_all()
+
+    norm = {r["row_id"]: r for r in pick(result["normalized"])}
+    feats = {r["row_id"]: r for r in pick(result["features"])}
+    clus = {r["row_id"]: r for r in pick(result["clusters"])}
+
+    report: dict = {"left_id": left_id, "right_id": right_id}
+    for rid in (left_id, right_id):
+        n = norm.get(rid, {})
+        report[rid] = {
+            "path_canonical": n.get("path_canonical"),
+            "stem": n.get("stem"),
+            "content_sha256_norm": n.get("content_sha256_norm"),
+            "n_tokens": n.get("n_tokens"),
+            "is_rep": rid in feats,
+            "cluster_id": clus.get(rid, {}).get("cluster_id"),
+        }
+    fl, fr = feats.get(left_id), feats.get(right_id)
+    if fl is not None and fr is not None:
+        sl = np.asarray(fl["minhash"], dtype=np.uint64)
+        sr = np.asarray(fr["minhash"], dtype=np.uint64)
+        report["minhash_jaccard_est"] = float((sl == sr).mean())
+    report["same_cluster"] = (
+        clus.get(left_id, {}).get("cluster_id") is not None
+        and clus.get(left_id, {}).get("cluster_id") == clus.get(right_id, {}).get("cluster_id")
+    )
+    return report

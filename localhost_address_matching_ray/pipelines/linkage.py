@@ -1,0 +1,97 @@
+"""The flagship record-linkage pipeline (SURVEY.md §7.0):
+
+read corpus → normalize → exact-group (shuffle 1: content_sha256_norm)
+→ features on distinct-content reps (actor pool) → block (salted keys)
+→ groupby(block_key) pair+score (shuffle 2) → edges ∪ exact star edges
+→ union-find (iterated label shuffles) → clusters(row_id, cluster_id).
+
+The reference's end-to-end flow is normalize → parse → match
+(``README.md:16-19``); each arrow above cites its stage module for the
+file-level analogs. Checkpointing (``PipelineConfig.checkpoint_dir``) makes
+every stage boundary resumable via manifest-validated Parquet
+(``state/checkpoint.py``).
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from localhost_address_matching_ray.config import PipelineConfig
+from localhost_address_matching_ray.stages.blocking import (
+    block_size_census,
+    emit_block_rows,
+    find_hot_keys,
+)
+from localhost_address_matching_ray.stages.cluster import assign_clusters, connected_components
+from localhost_address_matching_ray.stages.dedup import split_reps_and_edges, tag_exact_groups
+from localhost_address_matching_ray.stages.feature_stage import extract_features
+from localhost_address_matching_ray.stages.normalize_stage import normalize_corpus
+from localhost_address_matching_ray.state.checkpoint import load_or_compute
+from localhost_address_matching_ray.state.metrics import StageMetrics
+
+
+def link_corpus(
+    corpus: ray.data.Dataset,
+    config: PipelineConfig | None = None,
+    input_fingerprint: str = "",
+    metrics: StageMetrics | None = None,
+) -> dict[str, ray.data.Dataset]:
+    """Run the full pipeline; returns the named intermediate Datasets plus
+    the final ``clusters`` (row_id, cluster_id)."""
+    config = config or PipelineConfig()
+    metrics = metrics or StageMetrics()
+    ckpt = config.checkpoint_dir
+    ver = config.pipeline_version
+
+    normalized = load_or_compute(
+        ckpt, input_fingerprint, "normalized", ver,
+        lambda: normalize_corpus(corpus, config.batch_size),
+    )
+
+    tagged = load_or_compute(
+        ckpt, input_fingerprint, "exact_tagged", ver,
+        lambda: tag_exact_groups(normalized),
+    )
+    reps, exact_edges = split_reps_and_edges(tagged)
+
+    features = load_or_compute(
+        ckpt, input_fingerprint, "features", ver,
+        lambda: extract_features(reps, config),
+    )
+    if ckpt is None:
+        # blocking reads features twice (census + payload): pin the
+        # (content-free, rep-only) feature table instead of recomputing it.
+        features = features.materialize()
+
+    sizes = block_size_census(features, config)
+    hot = find_hot_keys(sizes, config)
+    metrics.count("blocking", "hot_keys", len(hot))
+    metrics.count("blocking", "hot_rows", sum(hot.values()))
+
+    blocks = emit_block_rows(features, config, hot)
+
+    from localhost_address_matching_ray.stages.pairs import candidate_edges
+    near_edges = load_or_compute(
+        ckpt, input_fingerprint, "edges", ver,
+        lambda: candidate_edges(blocks, config).union(exact_edges),
+    )
+    if ckpt is None:
+        # edges are read by CC iterations and metrics — pin the (small) table
+        near_edges = near_edges.materialize()
+
+    components = connected_components(near_edges)
+    clusters = load_or_compute(
+        ckpt, input_fingerprint, "clusters", ver,
+        lambda: assign_clusters(normalized, components),
+    )
+    metrics.count("cluster", "edge_rows", near_edges.count())
+
+    return {
+        "normalized": normalized,
+        "reps": reps,
+        "features": features,
+        "edges": near_edges,
+        "components": components,
+        "clusters": clusters,
+        "metrics": metrics,  # type: ignore[dict-item]
+    }

@@ -1,0 +1,99 @@
+"""Hashing kernel tests: sha256 fixed vectors (the per-row invariant),
+MinHash accuracy/determinism, SimHash locality."""
+
+import numpy as np
+
+from localhost_address_matching_ray.functions.hashing import (
+    MinHasher,
+    SimHasher,
+    TokenHasher,
+    hamming64,
+    hamming64_arrays,
+    minhash_jaccard,
+    rolling_fingerprint,
+    row_id_array,
+    sha256_hex,
+    sha256_hex_array,
+    shingle_hashes,
+)
+
+
+def test_sha256_fixed_vectors():
+    # NIST test vector + empty string — the content_sha256 invariant
+    assert sha256_hex("abc") == (
+        "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+    )
+    assert sha256_hex("") == (
+        "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+    )
+    assert sha256_hex_array(["abc", ""]) == [sha256_hex("abc"), sha256_hex("")]
+
+
+def test_row_id_deterministic():
+    a = row_id_array(["r"], ["p"], ["c"])
+    b = row_id_array(["r"], ["p"], ["c"])
+    assert a == b and len(a[0]) == 16
+    assert row_id_array(["r"], ["p"], ["c2"]) != a
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.RandomState(7)
+    universe = [f"tok{i}" for i in range(2000)]
+    a = set(rng.choice(universe, 400, replace=False))
+    b = set(a)
+    drop = rng.choice(sorted(a), 80, replace=False)
+    b.difference_update(drop)
+    b.update(f"new{i}" for i in range(80))
+    true_j = len(a & b) / len(a | b)
+
+    th = TokenHasher()
+    mh = MinHasher(num_perm=256)
+    sig_a = mh.signature(shingle_hashes(sorted(a), 1, th))
+    sig_b = mh.signature(shingle_hashes(sorted(b), 1, th))
+    est = minhash_jaccard(sig_a, sig_b)
+    assert abs(est - true_j) < 0.08
+
+
+def test_minhash_deterministic_across_instances():
+    th1, th2 = TokenHasher(), TokenHasher()
+    s1 = MinHasher().signature(shingle_hashes(["a", "b", "c", "d"], 2, th1))
+    s2 = MinHasher().signature(shingle_hashes(["a", "b", "c", "d"], 2, th2))
+    assert (s1 == s2).all()
+
+
+def test_minhash_band_keys():
+    mh = MinHasher(num_perm=128)
+    sig = mh.signature(shingle_hashes(["x", "y", "z"], 2, TokenHasher()))
+    keys = mh.band_keys(sig, 16)
+    assert len(keys) == 16 and len(set(keys)) == 16  # band index prefixes differ
+
+
+def test_simhash_locality():
+    sh = SimHasher()
+    base = [f"w{i}" for i in range(200)]
+    near = list(base)
+    near[3] = "changed"
+    far = [f"v{i}" for i in range(200)]
+    h0, h1, h2 = sh.simhash(base), sh.simhash(near), sh.simhash(far)
+    assert hamming64(h0, h1) < hamming64(h0, h2)
+
+
+def test_hamming64_arrays_matches_scalar():
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 2**63, 50, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, 2**63, 50, dtype=np.int64).astype(np.uint64)
+    vec = hamming64_arrays(a, b)
+    for i in range(50):
+        assert vec[i] == hamming64(int(a[i]), int(b[i]))
+
+
+def test_rolling_fingerprint_deterministic():
+    assert rolling_fingerprint("hello world") == rolling_fingerprint("hello world")
+    assert rolling_fingerprint("hello world") != rolling_fingerprint("hello worle")
+
+
+def test_shingle_short_doc():
+    th = TokenHasher()
+    # fewer tokens than k → one shingle over all tokens, not empty
+    assert len(shingle_hashes(["a", "b"], 5, th)) == 1
+    assert len(shingle_hashes([], 3, th)) == 0

@@ -1,0 +1,74 @@
+"""Similarity kernels vs DuckDB builtins — the oracle-parity contract."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from localhost_address_matching_ray.functions.similarity import (
+    char_jaccard,
+    cosine_topk,
+    jaro_winkler,
+    levenshtein,
+    token_set_jaccard,
+)
+
+WORD_PAIRS = [
+    ("kitten", "sitting"),
+    ("flaw", "lawn"),
+    ("", "abc"),
+    ("abc", ""),
+    ("same", "same"),
+    ("main_loader", "main-loader"),
+    ("data_merge_12", "data_merge_21"),
+    ("x", "yz"),
+]
+
+
+@pytest.mark.parametrize("s,t", WORD_PAIRS)
+def test_levenshtein_matches_duckdb(s, t):
+    if not s or not t:
+        # DuckDB levenshtein errors on empty input; our kernel defines it
+        assert levenshtein(s, t) == max(len(s), len(t))
+        return
+    exp = duckdb.sql(f"select levenshtein('{s}','{t}')").fetchone()[0]
+    assert levenshtein(s, t) == exp
+
+
+@pytest.mark.parametrize("s,t", [(s, t) for s, t in WORD_PAIRS if s and t])
+def test_jaro_winkler_matches_duckdb(s, t):
+    exp = duckdb.sql(f"select jaro_winkler_similarity('{s}','{t}')").fetchone()[0]
+    assert jaro_winkler(s, t) == pytest.approx(exp, abs=1e-9)
+
+
+@pytest.mark.parametrize("s,t", [(s, t) for s, t in WORD_PAIRS if s and t])
+def test_char_jaccard_matches_duckdb(s, t):
+    exp = duckdb.sql(f"select jaccard('{s}','{t}')").fetchone()[0]
+    assert char_jaccard(s, t) == pytest.approx(exp, abs=1e-12)
+
+
+def test_token_set_jaccard_matches_duckdb_lists():
+    a, b = ["x", "y", "z", "z"], ["y", "z", "w"]
+    exp = duckdb.sql(
+        "select len(list_intersect(list_distinct(['x','y','z','z']), list_distinct(['y','z','w'])))"
+        " / len(list_distinct(['x','y','z','z'] || ['y','z','w']))"
+    ).fetchone()[0]
+    assert token_set_jaccard(a, b) == exp  # exact IEEE division of same ints
+
+
+def test_cosine_topk_agrees_with_duckdb():
+    rng = np.random.RandomState(11)
+    corpus = rng.randn(40, 8)
+    queries = corpus[:3]
+    qi, ci, score = cosine_topk(queries, corpus, k=5)
+    con = duckdb.connect()
+    con.execute("create table e as select * from (values " + ",".join(
+        f"({i}, {list(map(float, corpus[i]))})" for i in range(40)
+    ) + ") t(id, v)")
+    for q in range(3):
+        rows = con.execute(
+            f"""select id from (
+                  select id, round(list_cosine_similarity(v, {list(map(float, queries[q]))}), 6) s
+                  from e) order by s desc, id limit 5"""
+        ).fetchall()
+        mine = [int(ci[j]) for j in range(len(qi)) if qi[j] == q]
+        assert mine == [r[0] for r in rows]
