@@ -1,44 +1,51 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+All implementations live in ``localhost_address_matching_ray.pipelines.queries`` (the
+registry pairs each Ray pipeline with its DuckDB oracle so the two can never
+drift apart). Nothing here calls ``ray.init()``/``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship record-linkage pipeline on /root/testdata/sf0.001: derive the
+    corpus from ``documents``, then normalize → exact-dedup → MinHash
+    features → salted blocking → pair scoring → union-find clusters."""
+    import ray.data
+
+    from localhost_address_matching_ray.config import PipelineConfig
+    from localhost_address_matching_ray.pipelines.linkage import link_corpus
+    from localhost_address_matching_ray.sources.tables import corpus_from_documents
+
+    corpus = corpus_from_documents("/root/testdata/sf0.001")
+    result = link_corpus(corpus, PipelineConfig(feature_concurrency=2))
+    return result["clusters"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from localhost_address_matching_ray.pipelines.queries import REGISTRY
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: qd.fn for name, qd in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query; non-expressible
+    ops (LSH/SimHash candidates, rolling hashes, the stubbed multimodal
+    stage, the fixture flagship) are omitted → rows-only checks."""
+    from localhost_address_matching_ray.pipelines.queries import REGISTRY
+
+    return {name: qd.sql for name, qd in REGISTRY.items() if qd.sql is not None}

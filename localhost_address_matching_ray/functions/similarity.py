@@ -16,6 +16,16 @@ from __future__ import annotations
 import numpy as np
 
 
+def duckdb_round(x, decimals: int):
+    """DuckDB ``round(x, d)`` semantics for DOUBLE: ``std::round(x·10^d)/10^d``
+    (half away from zero). Arrow's ``pc.round`` and ``np.round`` use
+    different scaling/tie rules and produce different last-ulp doubles —
+    every oracle-compared float goes through THIS helper on the Ray side."""
+    p = 10.0 ** decimals
+    x = np.asarray(x, dtype=np.float64)
+    return np.trunc(x * p + np.copysign(0.5, x)) / p
+
+
 def token_set_jaccard(tokens_a: list[str], tokens_b: list[str]) -> float:
     """|A∩B| / |A∪B| over distinct tokens. SQL equivalent:
     ``len(list_intersect(ta, tb)) / len(list_distinct(ta || tb))``
@@ -108,9 +118,9 @@ def cosine_topk(
     to ``round_decimals`` so ranking ties resolve identically to the DuckDB
     oracle (which also ranks on the rounded value). All float64 matmul.
     """
-    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
-    cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
-    sims = np.round(qn @ cn.T, round_decimals)  # (nq, nc)
+    nq_ = np.sqrt((queries * queries).sum(axis=1))
+    nc_ = np.sqrt((corpus * corpus).sum(axis=1))
+    sims = duckdb_round((queries @ corpus.T) / (nq_[:, None] * nc_[None, :]), round_decimals)
     k = min(k, sims.shape[1])
     # stable top-k: sort by (-score, corpus_idx)
     order = np.lexsort((np.arange(sims.shape[1])[None, :].repeat(len(sims), 0), -sims), axis=1)

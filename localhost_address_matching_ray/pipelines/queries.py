@@ -1,0 +1,948 @@
+"""Query registry: every implemented operator/pipeline exposed as a
+``name → callable(sf_dir)`` plus (where SQL-expressible) an exactly-matching
+DuckDB oracle string. This is the driver's correctness surface
+(``__ray_entry__.queries`` / ``oracle_sql``).
+
+Parity rules (so the driver's order-insensitive value-hash matches):
+
+* every computed column is named identically in Ray and SQL;
+* integer-derived divisions (Jaccard, ratios) are bit-exact by construction;
+* accumulation-order-sensitive floats (sums, cosines) are rounded on BOTH
+  sides (money → 2 dp, similarities/means → 6 dp);
+* top-k queries sort by (rounded metric, id) on both sides so the selected
+  set is identical.
+
+O(block²) pairwise queries here are the oracle-able baselines over the small
+sandbox tables; their scale paths (MinHash-LSH, SimHash, LSH-bucketed ANN)
+are registered as rows-only-checked queries alongside.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from localhost_address_matching_ray.functions.similarity import duckdb_round
+from localhost_address_matching_ray.sources.tables import CORPUS_SQL, corpus_from_documents, read_table
+
+
+def _round_col(t: pa.Table, col: str, decimals: int) -> pa.Table:
+    i = t.schema.get_field_index(col)
+    vals = duckdb_round(t[col].to_numpy(zero_copy_only=False), decimals)
+    return t.set_column(i, col, pa.array(vals, pa.float64()))
+
+# SQL fragment: whitespace-normalized content / text (mirror of
+# functions.normalize.normalize_content)
+_NORM = r"trim(regexp_replace(nfc_normalize({col}),'\s+',' ','g'))"
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[str], ray.data.Dataset]
+    sql: str | None       # None → driver records a rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, sql: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn, sql, doc)
+        return fn
+
+    return deco
+
+
+def _join_parts(n_left: int) -> int:
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(1, min(max(2, cpus), n_left // 500 + 1))
+
+
+# --------------------------------------------------------------------------
+# 1. Corpus linkage family (derived corpus — SQL-reproducible, CORPUS_SQL)
+# --------------------------------------------------------------------------
+
+@register(
+    "corpus_build",
+    f"WITH corpus AS ({CORPUS_SQL}) SELECT repo, path, \"commit\", lang, content FROM corpus",
+    "S1/S7 source derivation: documents → corpus(repo,path,commit,lang,content)",
+)
+def corpus_build(sf_dir: str) -> ray.data.Dataset:
+    return corpus_from_documents(sf_dir)
+
+
+_NORM_CTE = f"""
+WITH corpus AS ({CORPUS_SQL}),
+norm AS (
+  SELECT repo, path, "commit", lang,
+    substr(sha256(repo || '|' || path || '|' || "commit"), 1, 16) AS row_id,
+    lower(nfc_normalize(path)) AS path_canonical,
+    regexp_replace(regexp_replace(regexp_replace(lower(nfc_normalize(path)), '^.*/', ''), '\\.[^.]*$', ''), '[^a-z0-9_]+', '_', 'g') AS stem,
+    sha256(content) AS content_sha256,
+    sha256({_NORM.format(col='content')}) AS content_sha256_norm,
+    CASE WHEN {_NORM.format(col='content')} = '' THEN 0
+         ELSE len(string_split({_NORM.format(col='content')}, ' ')) END AS n_tokens,
+    content
+  FROM corpus)
+"""
+
+
+def _normalized_corpus(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.normalize_stage import normalize_corpus
+
+    return normalize_corpus(corpus_from_documents(sf_dir))
+
+
+@register(
+    "corpus_normalize",
+    _NORM_CTE + """
+SELECT row_id, path_canonical, stem, content_sha256, content_sha256_norm, n_tokens FROM norm""",
+    "M1-M11 normalizer chain + sha256 per-row invariant (map.py:160-166)",
+)
+def corpus_normalize(sf_dir: str) -> ray.data.Dataset:
+    return _normalized_corpus(sf_dir).select_columns(
+        ["row_id", "path_canonical", "stem", "content_sha256", "content_sha256_norm", "n_tokens"]
+    )
+
+
+@register(
+    "corpus_exact_dedup",
+    _NORM_CTE + """
+SELECT content_sha256_norm, min(row_id) AS row_id, count(*) AS n_members
+FROM norm GROUP BY content_sha256_norm""",
+    "D1 exact dedup: hash-partition + per-group first",
+)
+def corpus_exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    ds = _normalized_corpus(sf_dir).select_columns(["content_sha256_norm", "row_id"])
+    return ds.groupby("content_sha256_norm").aggregate(
+        Min("row_id", alias_name="row_id"), Count(alias_name="n_members")
+    )
+
+
+@register(
+    "corpus_dup_groups",
+    _NORM_CTE + """
+SELECT content_sha256_norm, count(*) AS n_dups FROM norm
+GROUP BY content_sha256_norm HAVING count(*) > 1""",
+    "G2 duplicate-group histogram (hot-key detection analog, map.py:279-287)",
+)
+def corpus_dup_groups(sf_dir: str) -> ray.data.Dataset:
+    ds = _normalized_corpus(sf_dir).select_columns(["content_sha256_norm"])
+    agg = ds.groupby("content_sha256_norm").aggregate(Count(alias_name="n_dups"))
+    return agg.filter(expr="n_dups > 1")
+
+
+@register(
+    "corpus_block_stats",
+    _NORM_CTE + """
+SELECT lang, stem, count(*) AS n FROM norm GROUP BY lang, stem""",
+    "blocking-key census (block-size histogram feeding the salting decision)",
+)
+def corpus_block_stats(sf_dir: str) -> ray.data.Dataset:
+    ds = _normalized_corpus(sf_dir).select_columns(["lang", "stem"])
+    return ds.groupby(["lang", "stem"]).aggregate(Count(alias_name="n"))
+
+
+@register(
+    "corpus_candidate_pairs",
+    _NORM_CTE + """
+SELECT a.row_id AS u, b.row_id AS v, a.lang AS lang, a.stem AS stem
+FROM norm a JOIN norm b ON a.lang = b.lang AND a.stem = b.stem AND a.row_id < b.row_id""",
+    "J1-J4 blocking self-join within (lang, stem) blocks — never a cross join",
+)
+def corpus_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
+    ds = _normalized_corpus(sf_dir).select_columns(["row_id", "lang", "stem"])
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group["row_id"].to_pylist())
+        lang = group["lang"][0].as_py()
+        stem = group["stem"][0].as_py()
+        us, vs = [], []
+        for i in range(len(ids) - 1):
+            for j in range(i + 1, len(ids)):
+                us.append(ids[i]); vs.append(ids[j])
+        return pa.table({
+            "u": pa.array(us, pa.string()), "v": pa.array(vs, pa.string()),
+            "lang": pa.array([lang] * len(us), pa.string()),
+            "stem": pa.array([stem] * len(us), pa.string()),
+        })
+
+    return ds.groupby(["lang", "stem"]).map_groups(pairs, batch_format="pyarrow")
+
+
+_PAIR_CTE = _NORM_CTE + f""",
+toks AS (
+  SELECT row_id, lang, content_sha256_norm,
+         list_distinct(string_split({_NORM.format(col='content')}, ' ')) AS ts
+  FROM norm),
+pairs AS (
+  SELECT a.row_id AS u, b.row_id AS v,
+         round(len(list_intersect(a.ts, b.ts))::DOUBLE / len(list_distinct(a.ts || b.ts)), 6) AS jaccard,
+         (a.content_sha256_norm = b.content_sha256_norm) AS sha_equal
+  FROM toks a JOIN toks b ON a.lang = b.lang AND a.row_id < b.row_id)
+"""
+
+
+@register(
+    "corpus_pair_scores",
+    _PAIR_CTE + """
+SELECT u, v, jaccard, sha_equal FROM pairs WHERE jaccard >= 0.97 OR sha_equal""",
+    "J5 pair scoring: exact token-set Jaccard within lang blocks (oracle baseline; "
+    "the LSH pipeline is the scale path)",
+)
+def corpus_pair_scores(sf_dir: str) -> ray.data.Dataset:
+    ds = _normalized_corpus(sf_dir)
+
+    def per_lang(group: pa.Table) -> pa.Table:
+        from localhost_address_matching_ray.functions.normalize import normalize_content
+
+        order = pc.sort_indices(group["row_id"])
+        group = group.take(order)
+        ids = group["row_id"].to_pylist()
+        shas = group["content_sha256_norm"].to_pylist()
+        sets = [
+            set(normalize_content(c).split(" "))
+            for c in group["content"].to_pylist()
+        ]
+        us, vs, js, se = [], [], [], []
+        from localhost_address_matching_ray.stages.docs_ops import _pairwise_jaccard_block
+
+        # vectorized screen at 0.97, then exact recompute of survivors
+        k = len(ids)
+        import numpy as np
+        vocab: dict[str, int] = {}
+        rows, cols = [], []
+        for i, s in enumerate(sets):
+            for t in s:
+                j = vocab.setdefault(t, len(vocab))
+                rows.append(i); cols.append(j)
+        m = np.zeros((k, len(vocab) or 1), dtype=np.float32)
+        if rows:
+            m[rows, cols] = 1.0
+        inter = m @ m.T
+        size = m.sum(axis=1)
+        union = size[:, None] + size[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where(union > 0, inter / union, 1.0)
+        sha_arr = np.asarray(shas)
+        keep = (jac >= 0.969) | (sha_arr[:, None] == sha_arr[None, :])
+        iu = np.triu_indices(k, 1)
+        for a, b in zip(iu[0][keep[iu]], iu[1][keep[iu]]):
+            inter_ab = len(sets[a] & sets[b])
+            union_ab = len(sets[a] | sets[b])
+            j = float(duckdb_round(inter_ab / union_ab, 6)) if union_ab else 1.0
+            eq = shas[a] == shas[b]
+            if j >= 0.97 or eq:
+                us.append(ids[a]); vs.append(ids[b]); js.append(j); se.append(eq)
+        return pa.table({
+            "u": pa.array(us, pa.string()), "v": pa.array(vs, pa.string()),
+            "jaccard": pa.array(js, pa.float64()),
+            "sha_equal": pa.array(se, pa.bool_()),
+        })
+
+    return ds.select_columns(
+        ["row_id", "lang", "content", "content_sha256_norm"]
+    ).groupby("lang").map_groups(per_lang, batch_format="pyarrow")
+
+
+@register(
+    "corpus_clusters",
+    _PAIR_CTE.replace("WITH corpus", "WITH RECURSIVE corpus") + """,
+edges AS (
+  SELECT u AS src, v AS dst FROM pairs WHERE jaccard >= 0.97 OR sha_equal
+  UNION ALL
+  SELECT v, u FROM pairs WHERE jaccard >= 0.97 OR sha_equal),
+cc(node, reach) AS (
+  SELECT row_id, row_id FROM norm
+  UNION
+  SELECT e.dst, c.reach FROM cc c JOIN edges e ON e.src = c.node)
+SELECT node AS row_id, min(reach) AS cluster_id FROM cc GROUP BY node""",
+    "transitive clustering: distributed union-find vs a recursive-CTE oracle",
+)
+def corpus_clusters(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.cluster import connected_components
+
+    edges = corpus_pair_scores(sf_dir).map_batches(
+        lambda t: pa.table({"u": t["u"], "v": t["v"]}), batch_format="pyarrow"
+    )
+    comps = connected_components(edges)
+    all_rows = _normalized_corpus(sf_dir).select_columns(["row_id"]).materialize()
+    n = all_rows.count()
+    if comps.count() == 0:
+        return all_rows.map_batches(
+            lambda t: pa.table({"row_id": t["row_id"], "cluster_id": t["row_id"]}),
+            batch_format="pyarrow",
+        )
+    return all_rows.join(
+        comps, join_type="left_outer", num_partitions=_join_parts(n), on=("row_id",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    ).map_batches(
+        lambda t: pa.table({
+            "row_id": t["row_id"],
+            "cluster_id": pc.coalesce(t["cluster_label"], t["row_id"]),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. Documents: text analysis / dedup family
+# --------------------------------------------------------------------------
+
+_DOCNORM = _NORM.format(col="text")
+
+
+@register(
+    "doc_stats",
+    f"""
+WITH n AS (SELECT doc_id, text, {_DOCNORM} AS norm FROM documents),
+t AS (SELECT doc_id, text, norm,
+        CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks
+      FROM n)
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  CASE WHEN len(toks) > 1 THEN length(norm) - (len(toks) - 1) ELSE length(norm) END AS n_chars_norm,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE (CASE WHEN len(toks) > 1 THEN length(norm) - (len(toks) - 1) ELSE length(norm) END)::DOUBLE / len(toks) END AS mean_token_len,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE / len(toks) END AS stop_ratio,
+  length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct_cnt,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+FROM t""",
+    "quality scoring: token counts, char stats, stopword/punct ratios",
+)
+def doc_stats(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.docs_ops import doc_quality
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return doc_quality(docs).select_columns(
+        ["doc_id", "n_tokens", "n_chars_norm", "mean_token_len", "stop_ratio",
+         "punct_cnt", "bpe_tokens"]
+    )
+
+
+def _langid_sql() -> str:
+    from localhost_address_matching_ray.functions.text import LANG_MARKERS
+
+    cnt_exprs = []
+    for lang, markers in LANG_MARKERS:
+        lst = ",".join(f"'{m}'" for m in sorted(markers))
+        cnt_exprs.append(
+            f"len(list_filter(toks, x -> x IN ({lst}))) AS c_{lang}"
+        )
+    # first-wins argmax in LANG_MARKERS order
+    langs = [lang for lang, _ in LANG_MARKERS]
+    cond = []
+    for i, lang in enumerate(langs):
+        others = [f"c_{lang} >= c_{o}" for j, o in enumerate(langs) if j < i] + [
+            f"c_{lang} > c_{o}" for j, o in enumerate(langs) if j > i
+        ]
+        # first-wins: must beat earlier langs strictly? No — earlier wins ties,
+        # so lang i wins iff c_i > c_j for all j < i and c_i >= c_j for j > i.
+        conds = [f"c_{lang} > c_{o}" for j, o in enumerate(langs) if j < i] + [
+            f"c_{lang} >= c_{o}" for j, o in enumerate(langs) if j > i
+        ]
+        cond.append(f"WHEN {' AND '.join(conds) if conds else 'TRUE'} THEN '{lang}'")
+    case = "CASE " + " ".join(cond) + f" ELSE '{langs[0]}' END"
+    return f"""
+WITH t AS (SELECT doc_id, lang,
+             CASE WHEN {_DOCNORM} = '' THEN []
+                  ELSE string_split({_DOCNORM}, ' ') END AS toks
+           FROM documents),
+c AS (SELECT doc_id, lang, {", ".join(cnt_exprs)} FROM t)
+SELECT doc_id, lang, {case} AS pred_lang,
+       ({case}) = lang AS agree
+FROM c"""
+
+
+@register(
+    "doc_langid",
+    _langid_sql(),
+    "language-ID heuristic (marker-stopword argmax, first-wins ties)",
+)
+def doc_langid(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.functions.normalize import normalize_content
+    from localhost_address_matching_ray.functions.text import predict_lang
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        preds = []
+        for t in batch["text"].to_pylist():
+            n = normalize_content(t)
+            preds.append(predict_lang(n.split(" ") if n else []))
+        langs = batch["lang"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "pred_lang": pa.array(preds, pa.string()),
+            "agree": pa.array([p == l for p, l in zip(preds, langs)], pa.bool_()),
+        })
+
+    return docs.map_batches(batch_fn, batch_format="pyarrow", batch_size=4096)
+
+
+@register(
+    "doc_fingerprint",
+    f"SELECT doc_id, sha256({_DOCNORM}) AS fingerprint FROM documents",
+    "document fingerprint = sha256 of normalized text",
+)
+def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.docs_ops import doc_fingerprints
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return doc_fingerprints(docs).select_columns(["doc_id", "fingerprint"])
+
+
+@register("doc_rolling_fingerprint", None,
+          "rolling polynomial hash fingerprint (not SQL-expressible → rows-only)")
+def doc_rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.docs_ops import doc_fingerprints
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return doc_fingerprints(docs).select_columns(["doc_id", "rolling_fp"])
+
+
+@register(
+    "doc_token_jaccard_pairs",
+    f"""
+WITH toks AS (
+  SELECT doc_id, lang, list_distinct(string_split({_DOCNORM}, ' ')) AS ts
+  FROM documents)
+SELECT a.doc_id AS u, b.doc_id AS v,
+       round(len(list_intersect(a.ts, b.ts))::DOUBLE / len(list_distinct(a.ts || b.ts)), 6) AS jaccard
+FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.ts, b.ts))::DOUBLE / len(list_distinct(a.ts || b.ts)) >= 0.97""",
+    "1-gram Jaccard near-dup pairs within lang (exact oracle baseline)",
+)
+def doc_token_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.docs_ops import token_jaccard_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return token_jaccard_pairs(docs, threshold=0.97)
+
+
+@register(
+    "doc_ngram_dup_pairs",
+    f"""
+WITH tk AS (
+  SELECT doc_id, lang,
+         unnest(string_split({_DOCNORM}, ' ')) AS tok,
+         generate_subscripts(string_split({_DOCNORM}, ' '), 1) AS pos
+  FROM documents),
+sh AS (
+  SELECT doc_id, lang,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+ss AS (SELECT doc_id, lang, list_distinct(list(shingle)) AS ss
+       FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id, lang)
+SELECT a.doc_id AS u, b.doc_id AS v,
+       round(len(list_intersect(a.ss, b.ss))::DOUBLE / len(list_distinct(a.ss || b.ss)), 6) AS jaccard
+FROM ss a JOIN ss b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.ss, b.ss))::DOUBLE / len(list_distinct(a.ss || b.ss)) >= 0.5""",
+    "3-gram shingle Jaccard near-dup pairs within lang (exact oracle baseline)",
+)
+def doc_ngram_dup_pairs(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.docs_ops import ngram_dup_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return ngram_dup_pairs(docs, k=3, threshold=0.5)
+
+
+@register("doc_minhash_lsh_pairs", None,
+          "MinHash-LSH near-dup candidates (the scale path; rows-only check)")
+def doc_minhash_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.docs_ops import minhash_lsh_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@register("doc_simhash_pairs", None,
+          "SimHash Hamming-distance near-dup pairs (rows-only check)")
+def doc_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.docs_ops import simhash_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return simhash_pairs(docs, max_hamming=6)
+
+
+@register(
+    "doc_lang_distribution",
+    "SELECT lang, count(*) AS n, round(avg(n_chars), 6) AS avg_chars FROM documents GROUP BY lang",
+    "G3/G4 distribution stats per group",
+)
+def doc_lang_distribution(sf_dir: str) -> ray.data.Dataset:
+    docs = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    agg = docs.groupby("lang").aggregate(
+        Count(alias_name="n"), Mean("n_chars", alias_name="avg_chars")
+    )
+    return agg.map_batches(lambda t: _round_col(t, "avg_chars", 6), batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# 3. Embeddings: similarity search family
+# --------------------------------------------------------------------------
+
+def _query_vectors(sf_dir: str, max_id: int):
+    import pyarrow.parquet as pq
+    import os
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    t = t.filter(pc.less(t["vec_id"], max_id))
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    return ids, mat
+
+
+@register(
+    "ann_topk",
+    """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+r AS (SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 10""",
+    "brute-force cosine top-k (broadcast query matrix, two-stage top-k reduce)",
+)
+def ann_topk(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.ann import ann_topk as _ann
+
+    ids, mat = _query_vectors(sf_dir, 10)
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return _ann(emb, ids, mat, k=10)
+
+
+@register(
+    "embedding_dup_pairs",
+    """
+SELECT a.vec_id AS u, b.vec_id AS v,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45""",
+    "embedding-cosine near-dup pairs (block-broadcast matmul)",
+)
+def embedding_dup_pairs(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.ann import cosine_pairs
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_pairs(emb, threshold=0.45)
+
+
+@register(
+    "knn_label_vote",
+    """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+           FROM embeddings WHERE vec_id % 25 = 0),
+s AS (SELECT q.query_id, q.true_label, e.vec_id AS neighbor_id, e.label,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk FROM s),
+v AS (SELECT query_id, true_label, label, count(*) AS c FROM r WHERE rnk <= 5 GROUP BY 1, 2, 3),
+w AS (SELECT query_id, true_label, label AS pred_label,
+             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, label) AS rn
+      FROM v)
+SELECT query_id, pred_label, true_label FROM w WHERE rn = 1""",
+    "kNN majority-vote classification over the embedding column",
+)
+def knn_label_vote(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.ann import ann_topk as _ann
+    import pyarrow.parquet as pq
+    import os
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids_np = t["vec_id"].to_numpy(zero_copy_only=False)
+    qt = t.filter(pa.array(ids_np % 25 == 0))
+    ids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    true_label = dict(zip(ids.tolist(), qt["label"].to_pylist()))
+    label_ref = ray.put(dict(zip(
+        t["vec_id"].to_pylist(), t["label"].to_pylist()
+    )))
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    top5 = _ann(emb, ids, mat, k=5)
+
+    def vote(group: pa.Table) -> pa.Table:
+        labels = ray.get(label_ref)
+        qid = group["query_id"][0].as_py()
+        from collections import Counter
+
+        cnt = Counter(labels[n] for n in group["neighbor_id"].to_pylist())
+        pred = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        return pa.table({
+            "query_id": pa.array([qid], pa.int64()),
+            "pred_label": pa.array([pred], pa.int32()),
+            "true_label": pa.array([true_label[qid]], pa.int32()),
+        })
+
+    return top5.groupby("query_id").map_groups(vote, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# 4. Relational / events operators (engine generality)
+# --------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_quantity) / count(*), 6) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'
+GROUP BY l_returnflag, l_linestatus""",
+    "G1/G3 grouped aggregation with computed measures (TPC-H Q1 shape)",
+)
+def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    li = read_table(sf_dir, "lineitem", columns=[
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate",
+    ])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import datetime
+        cutoff = pa.scalar(datetime.datetime(1995, 6, 1), type=pa.timestamp("us"))
+        t = t.filter(pc.less(t["l_shipdate"], cutoff))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "l_quantity": t["l_quantity"],
+            "l_extendedprice": t["l_extendedprice"],
+            "disc_price": disc,
+        })
+
+    agg = li.map_batches(prep, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Count(alias_name="count_order"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sq = t["sum_qty"].to_numpy(zero_copy_only=False)
+        co = t["count_order"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pa.array(duckdb_round(sq, 2)),
+            "sum_base_price": pa.array(duckdb_round(t["sum_base_price"].to_numpy(zero_copy_only=False), 2)),
+            "sum_disc_price": pa.array(duckdb_round(t["sum_disc_price"].to_numpy(zero_copy_only=False), 2)),
+            "avg_qty": pa.array(duckdb_round(sq / co, 6)),
+            "count_order": t["count_order"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+@register(
+    "q3_top_orders",
+    """
+SELECT l.l_orderkey AS o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY l.l_orderkey
+ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "broadcast semi-join (small key set) + grouped agg + top-k",
+)
+def q3_top_orders(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.parquet as pq
+    import os
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    building = set(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
+    )
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    keep_orders = set(
+        orders.filter(
+            pc.is_in(orders["o_custkey"], value_set=pa.array(sorted(building)))
+        )["o_orderkey"].to_pylist()
+    )
+    keys_ref = ray.put(keep_orders)
+
+    li = read_table(sf_dir, "lineitem", columns=[
+        "l_orderkey", "l_extendedprice", "l_discount",
+    ])
+
+    def score(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pc.is_in(t["l_orderkey"], value_set=pa.array(sorted(keys), pa.int64()))
+        t = t.filter(mask)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"], "rev": rev})
+
+    agg = li.map_batches(score, batch_format="pyarrow").groupby("o_orderkey").aggregate(
+        Sum("rev", alias_name="revenue")
+    ).map_batches(lambda t: _round_col(t, "revenue", 2), batch_format="pyarrow")
+    return agg.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+@register(
+    "q5_region_revenue",
+    """
+SELECT r.r_name AS r_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name""",
+    "multi-dim broadcast join chain (region←nation←customer) + large join + agg",
+)
+def q5_region_revenue(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.parquet as pq
+    import os
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_orderkey", "o_custkey"])
+    r_of_n = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    n2r = {
+        nk: r_of_n[rk]
+        for nk, rk in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    }
+    c2r = {
+        ck: n2r[nk]
+        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    o2r = {
+        ok: c2r[ck]
+        for ok, ck in zip(orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist())
+    }
+    map_ref = ray.put(o2r)
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        names = [m[k] for k in t["l_orderkey"].to_pylist()]
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"r_name": pa.array(names, pa.string()), "rev": rev})
+
+    return li.map_batches(tag, batch_format="pyarrow").groupby("r_name").aggregate(
+        Sum("rev", alias_name="revenue"), Count(alias_name="n_items")
+    ).map_batches(lambda t: _round_col(t, "revenue", 2), batch_format="pyarrow")
+
+
+@register(
+    "top_brands_by_revenue",
+    """
+SELECT p.p_brand AS p_brand,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand ORDER BY revenue DESC, p_brand LIMIT 5""",
+    "broadcast dimension join + top-k",
+)
+def top_brands_by_revenue(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.parquet as pq
+    import os
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    p2b = dict(zip(part["p_partkey"].to_pylist(), part["p_brand"].to_pylist()))
+    ref = ray.put(p2b)
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        brands = [m[k] for k in t["l_partkey"].to_pylist()]
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"p_brand": pa.array(brands, pa.string()), "rev": rev})
+
+    agg = li.map_batches(tag, batch_format="pyarrow").groupby("p_brand").aggregate(
+        Sum("rev", alias_name="revenue")
+    ).map_batches(lambda t: _round_col(t, "revenue", 2), batch_format="pyarrow")
+    return agg.sort(["revenue", "p_brand"], descending=[True, False]).limit(5)
+
+
+@register(
+    "customer_top_balances",
+    """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_acctbal > 0 ORDER BY c_acctbal DESC, c_custkey LIMIT 20""",
+    "filter + sort + limit (raw column floats — bit-exact)",
+)
+def customer_top_balances(sf_dir: str) -> ray.data.Dataset:
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    return cust.filter(expr="c_acctbal > 0").sort(
+        ["c_acctbal", "c_custkey"], descending=[True, False]
+    ).limit(20)
+
+
+@register(
+    "supplier_nation_stats",
+    """
+SELECT n.n_name AS n_name, count(*) AS n_suppliers,
+       round(sum(s.s_acctbal), 4) AS total_acctbal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name""",
+    "dimension join + grouped stats",
+)
+def supplier_nation_stats(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.parquet as pq
+    import os
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    n2n = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    ref = ray.put(n2n)
+    sup = read_table(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        return pa.table({
+            "n_name": pa.array([m[k] for k in t["s_nationkey"].to_pylist()], pa.string()),
+            "s_acctbal": t["s_acctbal"],
+        })
+
+    return sup.map_batches(tag, batch_format="pyarrow").groupby("n_name").aggregate(
+        Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_acctbal")
+    ).map_batches(lambda t: _round_col(t, "total_acctbal", 4), batch_format="pyarrow")
+
+
+@register(
+    "orders_by_month",
+    """
+SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY date_trunc('month', o_orderdate)""",
+    "temporal bucketing + agg",
+)
+def orders_by_month(sf_dir: str) -> ray.data.Dataset:
+    orders = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": pc.floor_temporal(t["o_orderdate"], unit="month"),
+            "o_totalprice": t["o_totalprice"],
+        })
+
+    return orders.map_batches(bucket, batch_format="pyarrow").groupby("month").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total")
+    ).map_batches(lambda t: _round_col(t, "total", 2), batch_format="pyarrow")
+
+
+@register(
+    "events_hourly_windows",
+    """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY date_trunc('hour', ts), event_type""",
+    "tumbling-window aggregate over the event stream (§2.9 streaming analog)",
+)
+def events_hourly_windows(sf_dir: str) -> ray.data.Dataset:
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+            "event_type": t["event_type"],
+            "value": t["value"],
+        })
+
+    return ev.map_batches(bucket, batch_format="pyarrow").groupby(
+        ["window_start", "event_type"]
+    ).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="total_value")
+    ).map_batches(lambda t: _round_col(t, "total_value", 6), batch_format="pyarrow")
+
+
+@register(
+    "events_user_sessions",
+    """
+WITH e AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTES
+         THEN 1 ELSE 0 END AS brk
+  FROM events)
+SELECT user_id, sum(brk) AS n_sessions, count(*) AS n_events
+FROM e GROUP BY user_id""",
+    "sessionization (30-min gap) via per-user sorted map_groups — the "
+    "partitioned-log window pattern (ordering assumption: ts within user)",
+)
+def events_user_sessions(sf_dir: str) -> ray.data.Dataset:
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        ts = g["ts"].take(order).to_numpy(zero_copy_only=False)
+        gaps = np.diff(ts.astype("datetime64[us]").astype(np.int64))
+        n_sessions = 1 + int((gaps > 30 * 60 * 1_000_000).sum())
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "n_events": pa.array([g.num_rows], pa.int64()),
+        })
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# 5. Flagship (fixture corpus) + multimodal — rows-only checks
+# --------------------------------------------------------------------------
+
+@register("linkage_fixture_clusters", None,
+          "flagship LSH linkage pipeline on the planted-cluster fixture corpus")
+def linkage_fixture_clusters(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.config import PipelineConfig
+    from localhost_address_matching_ray.fixtures import CorpusSpec, generate_corpus
+    from localhost_address_matching_ray.pipelines.linkage import link_corpus
+
+    tables = generate_corpus(CorpusSpec(n_base=300, seed=42))
+    res = link_corpus(
+        ray.data.from_arrow(tables["corpus"]),
+        PipelineConfig(feature_concurrency=2),
+    )
+    return res["clusters"]
+
+
+@register("multimodal_media_features", None,
+          "multimodal decode/feature plumbing (decode kernel stubbed, Ray plumbing real)")
+def multimodal_media_features(sf_dir: str) -> ray.data.Dataset:
+    import os
+    import pyarrow.parquet as pq
+
+    from localhost_address_matching_ray.stages.multimodal import (
+        extract_media_features,
+        synthesize_media_table,
+    )
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    media = ray.data.from_arrow(synthesize_media_table(docs))
+    return extract_media_features(media)

@@ -1,0 +1,137 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Training-data-pipeline operator family: brute-force cosine top-k as the
+baseline — the query matrix is broadcast once via ``ray.put`` and every batch
+does one float64 matmul against it (never re-shipped per batch); an
+LSH-bucketed variant (random hyperplane signs → bucket key) is the scale
+path, trading exactness for a ``groupby(bucket)`` instead of all-pairs.
+
+Scores are rounded to 6 decimals and ranked on the rounded value with
+``vec_id`` tie-break so results are reproducible against a DuckDB
+``list_cosine_similarity`` oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from localhost_address_matching_ray.functions.similarity import duckdb_round
+
+
+def _cosine_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """DuckDB list_cosine_similarity semantics in float64:
+    dot / (sqrt(norm_a) * sqrt(norm_b)), rounded to 6 decimals."""
+    na = np.sqrt((a * a).sum(axis=1))
+    nb = np.sqrt((b * b).sum(axis=1))
+    return duckdb_round((a @ b.T) / (na[:, None] * nb[None, :]), 6)
+
+
+def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch[col].combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(batch.num_rows, -1)
+
+
+class _TopKScorer:
+    """Actor: holds the normalized broadcast query matrix; per batch emits
+    each query's top-k *within the batch* (k small, batches large → the
+    candidate stream is tiny; a final per-query reduce picks global top-k)."""
+
+    def __init__(self, query_ref, k: int) -> None:
+        q = ray.get(query_ref)
+        self.qids = q["ids"]
+        self.qm = q["matrix"].astype(np.float64)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cm = _emb_matrix(batch)
+        sims = _cosine_matrix(self.qm, cm)  # (nq, nb)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        nq, nb = sims.shape
+        k = min(self.k + 1, nb)  # +1: self-hit may be in-batch
+        # per query: candidate top-k within this batch
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+        qid_out = np.repeat(self.qids, k)
+        cand = vec_ids[idx.ravel()]
+        score = sims[np.repeat(np.arange(nq), k), idx.ravel()]
+        return pa.table({
+            "query_id": pa.array(qid_out, pa.int64()),
+            "neighbor_id": pa.array(cand, pa.int64()),
+            "score": pa.array(score, pa.float64()),
+        })
+
+
+def ann_topk(
+    embeddings: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """Global top-k cosine neighbors (self excluded) for each query row.
+
+    Two-stage top-k: per-batch candidates (map_batches, broadcast queries)
+    then a per-query ``groupby(query_id).map_groups`` exact reduce — the
+    partial-aggregate-then-small-shuffle pattern.
+    Output: (query_id, neighbor_id, rank, score).
+    """
+    ref = ray.put({"ids": np.asarray(query_ids), "matrix": np.asarray(query_matrix)})
+    cands = embeddings.map_batches(
+        _TopKScorer, fn_constructor_args=(ref, k),
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=concurrency, num_cpus=1,
+    )
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        qid = g["query_id"][0].as_py()
+        nb = g["neighbor_id"].to_numpy(zero_copy_only=False)
+        sc = g["score"].to_numpy(zero_copy_only=False)
+        mask = nb != qid  # exclude self
+        nb, sc = nb[mask], sc[mask]
+        order = np.lexsort((nb, -sc))[:k]
+        return pa.table({
+            "query_id": pa.array(np.full(len(order), qid), pa.int64()),
+            "neighbor_id": pa.array(nb[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "score": pa.array(sc[order], pa.float64()),
+        })
+
+    return cands.groupby("query_id").map_groups(reduce_group, batch_format="pyarrow")
+
+
+def cosine_pairs(
+    embeddings: ray.data.Dataset,
+    threshold: float,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """All pairs (u < v) with round(cosine, 6) ≥ threshold.
+
+    Block-broadcast pattern: the full (normalized) matrix rides the object
+    store once; each batch matmuls against it. O(n²/B) per task — the
+    embedding-cosine near-dup baseline. For 10^9+ rows switch to the LSH
+    bucket variant (same interface) — documented trade-off.
+    """
+    all_tbl = embeddings.select_columns(["vec_id", "embedding"]).materialize()
+    full = pa.concat_tables(ray.get(all_tbl.to_arrow_refs()))
+    ids = full["vec_id"].to_numpy(zero_copy_only=False)
+    mat_ref = ray.put({"ids": ids, "m": _emb_matrix(full)})
+
+    def score(batch: pa.Table) -> pa.Table:
+        ref = ray.get(mat_ref)
+        bids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = _cosine_matrix(_emb_matrix(batch), ref["m"])
+        bi, fj = np.nonzero(sims >= threshold)
+        u, v, s = bids[bi], ref["ids"][fj], sims[bi, fj]
+        keep = u < v
+        return pa.table({
+            "u": pa.array(u[keep], pa.int64()),
+            "v": pa.array(v[keep], pa.int64()),
+            "score": pa.array(s[keep], pa.float64()),
+        })
+
+    return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        score, batch_format="pyarrow", batch_size=2048
+    )
