@@ -1,0 +1,169 @@
+"""Benchmark harness.
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": "linkage_files_per_sec", "value": <headline seconds>,
+     "unit": "sec", "queries": {...per-pipeline seconds...},
+     "rows_per_sec": ..., "sf": ..., "num_cpus": N}
+
+``--scaling`` runs the headline pipeline in two FRESH processes
+(num_cpus=8 then 32) on the same input — the sandbox proxy for the
+north_rule's N vs 4N cluster-size criterion — and prints throughput at both
+plus scaling efficiency.
+
+The linkage corpus is the deterministic fixture generator at bench scale
+(FIXTURES.md), generated once and cached as Parquet under /tmp (generation
+is excluded from timing; an untimed warm-read precedes measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "30000"))
+SEED = 42
+
+
+def _bench_corpus_path() -> str:
+    return f"/tmp/linkage_bench/corpus_n{BENCH_ROWS}_s{SEED}"
+
+
+def ensure_bench_corpus() -> str:
+    """Generate-and-cache the planted-cluster corpus (untimed)."""
+    import pyarrow.parquet as pq
+
+    path = _bench_corpus_path()
+    marker = os.path.join(path, "_done")
+    if not os.path.exists(marker):
+        from localhost_address_matching_ray.fixtures import CorpusSpec, generate_corpus
+
+        os.makedirs(path, exist_ok=True)
+        tables = generate_corpus(
+            CorpusSpec(n_base=BENCH_ROWS, seed=SEED, hot_cluster_size=max(600, BENCH_ROWS // 50))
+        )
+        pq.write_table(tables["corpus"], os.path.join(path, "corpus.parquet"))
+        pq.write_table(tables["labeled_pairs"], os.path.join(path, "labeled_pairs.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def run_linkage() -> dict:
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from localhost_address_matching_ray.config import PipelineConfig
+    from localhost_address_matching_ray.pipelines.eval import pairwise_f1
+    from localhost_address_matching_ray.pipelines.linkage import link_corpus
+
+    path = ensure_bench_corpus()
+    corpus_file = os.path.join(path, "corpus.parquet")
+    # warm OS page cache (untimed)
+    pq.read_table(corpus_file)
+
+    n_rows = pq.read_metadata(corpus_file).num_rows
+    cfg = PipelineConfig(feature_concurrency=max(2, NUM_CPUS // 2))
+    t0 = time.time()
+    corpus = ray.data.read_parquet(corpus_file)
+    res = link_corpus(corpus, cfg)
+    n_out = res["clusters"].count()
+    sec = time.time() - t0
+
+    lp = pq.read_table(os.path.join(path, "labeled_pairs.parquet"))
+    report = pairwise_f1(res["clusters"], lp)
+    return {
+        "sec": sec, "rows": n_rows, "rows_out": n_out,
+        "rows_per_sec": n_rows / sec, "f1": report.f1,
+    }
+
+
+def run_query(name: str) -> float:
+    from localhost_address_matching_ray.pipelines.queries import REGISTRY
+
+    t0 = time.time()
+    ds = REGISTRY[name].fn(SF_DIR)
+    import ray.data
+
+    if isinstance(ds, ray.data.Dataset):
+        ds.count()
+    return time.time() - t0
+
+
+SIDE_QUERIES = [
+    "q1_pricing_summary", "events_hourly_windows", "doc_ngram_dup_pairs",
+    "doc_minhash_lsh_pairs", "ann_topk", "corpus_exact_dedup",
+]
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    link = run_linkage()
+    queries = {"linkage": round(link["sec"], 3)}
+    for q in SIDE_QUERIES:
+        queries[q] = round(run_query(q), 3)
+
+    out = {
+        "metric": "linkage_files_per_sec",
+        "value": round(link["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "rows": link["rows"],
+        "rows_per_sec": round(link["rows_per_sec"], 1),
+        "f1": round(link["f1"], 4),
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def scaling() -> None:
+    """Fresh-process runs at 8 and 32 CPUs on the same input."""
+    ensure_bench_corpus()  # shared, cached, warmed by each child
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        )
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tput_lo = r_lo["rows_per_sec"]
+    tput_hi = r_hi["rows_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "rows_per_sec_lo": tput_lo, "rows_per_sec_hi": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -60,8 +60,13 @@ class PipelineConfig:
     salt_buckets: int = 8        # sub-blocks per hot key
 
     # --- scoring / clustering ---
-    jaccard_threshold: float = 0.72   # token-set Jaccard edge threshold
+    jaccard_threshold: float = 0.60   # shingle-Jaccard edge threshold (non-dups score ~0, minor edits ~0.7+)
     stem_sim_threshold: float = 0.90  # Jaro-Winkler path-stem assist threshold
+
+    # --- scale-adaptive machinery ---
+    census_buckets: int = 64          # low-cardinality bucket groupby width
+    driver_cc_max_edges: int = 5_000_000   # ≤ → driver union-find fast path
+    broadcast_components_max: int = 2_000_000  # ≤ → broadcast cluster map
 
     # --- execution ---
     batch_size: int = 4096

@@ -109,8 +109,8 @@ def explain_pair(result: dict[str, ray.data.Dataset], left_id: str, right_id: st
         }
     fl, fr = feats.get(left_id), feats.get(right_id)
     if fl is not None and fr is not None:
-        sl = np.asarray(fl["minhash"], dtype=np.uint64)
-        sr = np.asarray(fr["minhash"], dtype=np.uint64)
+        sl = np.frombuffer(fl["sig"], dtype=np.uint64)
+        sr = np.frombuffer(fr["sig"], dtype=np.uint64)
         report["minhash_jaccard_est"] = float((sl == sr).mean())
     report["same_cluster"] = (
         clus.get(left_id, {}).get("cluster_id") is not None

@@ -52,6 +52,12 @@ def link_corpus(
         ckpt, input_fingerprint, "exact_tagged", ver,
         lambda: tag_exact_groups(normalized),
     )
+    if ckpt is None:
+        # tagged has three consumers (reps→features, exact edges, final
+        # cluster assignment) — pin it once instead of re-running the
+        # normalize+shuffle lineage per consumer. With checkpointing on, the
+        # durable Parquet copy plays this role.
+        tagged = tagged.materialize()
     reps, exact_edges = split_reps_and_edges(tagged)
 
     features = load_or_compute(
@@ -79,15 +85,24 @@ def link_corpus(
         # edges are read by CC iterations and metrics — pin the (small) table
         near_edges = near_edges.materialize()
 
-    components = connected_components(near_edges)
+    components = connected_components(
+        near_edges, driver_max_edges=config.driver_cc_max_edges
+    )
     clusters = load_or_compute(
         ckpt, input_fingerprint, "clusters", ver,
-        lambda: assign_clusters(normalized, components),
+        lambda: assign_clusters(
+            tagged, components, broadcast_max=config.broadcast_components_max
+        ),
     )
+    if ckpt is None:
+        # the result is consumed more than once (count, eval, writes) — pin
+        # it so the assign joins run exactly once
+        clusters = clusters.materialize()
     metrics.count("cluster", "edge_rows", near_edges.count())
 
     return {
-        "normalized": normalized,
+        # tagged == normalized + rep_row_id; exposed as the normalized view
+        "normalized": tagged,
         "reps": reps,
         "features": features,
         "edges": near_edges,

@@ -7,26 +7,32 @@ to composite blocking keys; and the duplicate-district union index
 here becomes hot-key detection + salting (north_rule: "explicit salting of
 hot keys").
 
-Two key families per row (multi-pass blocking — union of keys maximizes
-recall, groupby dedups pairs later):
+Keys are uint64 hashes precomputed by the feature stage (``block_hashes``):
+one per MinHash LSH band (content channel) plus one for (lang, stem) (the
+renamed-copy channel). Multi-pass blocking: the union of both key families
+maximizes recall; pair dedup collapses the overlap.
 
-* ``L|<lang>|B<band>:<bandhash>`` — one per LSH band of the MinHash signature
-  (content-similarity blocking).
-* ``S|<lang>|<stem>`` — path-stem blocking (the renamed-copy channel).
+**Bucketed shuffles.** Ray's ``groupby`` on a high-cardinality key pays a
+per-key cost that dwarfs the actual counting, so every blocking shuffle here
+groups on ``bucket = key_hash % census_buckets`` — a low-cardinality column —
+and does the real per-key work *vectorized inside the bucket* (numpy
+sort/diff). All rows of a key land in one bucket by construction, so
+per-key semantics are preserved while the shuffle machinery only ever sees
+``census_buckets`` groups.
 
 Skew handling is two-pass:
 
-1. a cheap key-only pass → ``groupby(block_key).count()`` → block-size
-   histogram (metrics) → hot keys (``n > max_block_rows``) collected to the
-   driver (hot keys are few by definition) and broadcast via ``ray.put``;
-2. the payload pass salts hot keys into ``key#<bucket>`` sub-blocks
+1. key-only flatten → bucketed count → per-key sizes; hot keys
+   (``n > max_block_rows``) are collected to the driver (few by definition —
+   bounded by corpus_size / max_block_rows) and broadcast via ``ray.put``.
+2. the payload pass salts hot keys into ``mix(key, bucket)`` sub-keys
    (deterministic ``row_id``-hash bucket) and additionally re-emits a
-   deterministic ~``2·salt_buckets``-row sample of each hot key into a
-   ``key#rep`` bridge block, so sub-clusters of a truly-hot key are linked
-   transitively through the representatives. PARTITIONING ASSUMPTION: a hot
-   band-block is a near-clique (same MinHash band ⇒ near-identical content),
-   so rep-bridging preserves connectivity; coverage of direct cross-sub-block
-   pairs is intentionally traded away and the trade is logged in metrics.
+   deterministic ~``4·salt_buckets``-row sample of each hot key under a
+   ``mix(key, REP)`` bridge key, so sub-clusters of a truly-hot key are
+   linked transitively through the representatives. PARTITIONING ASSUMPTION:
+   a hot band-block is a near-clique (same MinHash band ⇒ near-identical
+   content), so rep-bridging preserves connectivity; direct cross-sub-block
+   pairs are intentionally traded away and the trade is logged in metrics.
 """
 
 from __future__ import annotations
@@ -37,118 +43,123 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count
 
 from localhost_address_matching_ray.config import PipelineConfig
-from localhost_address_matching_ray.functions.hashing import MinHasher
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+_REP_SALT = np.uint64(0xFFFFFFFF)
+
+
+def _salted(kh: np.uint64 | int, salt: int) -> int:
+    """Deterministic sub-key for a hot key: splitmix-style remix."""
+    x = (np.uint64(kh) + np.uint64(salt + 1)) * _MIX
+    return int(x ^ (x >> np.uint64(31)))
 
 
 def _stable_bucket(row_id: str, buckets: int) -> int:
     return int.from_bytes(hashlib.sha1(row_id.encode()).digest()[:4], "big") % buckets
 
 
-def _keys_for_row(lang: str, stem: str, band_keys: list[str]) -> list[str]:
-    keys = [f"L|{lang}|B{bk}" for bk in band_keys]
-    if stem:
-        keys.append(f"S|{lang}|{stem}")
-    return keys
-
-
-class _KeyOnlyEmitter:
-    """Pass 1: emit bare block keys for the size census."""
-
-    def __init__(self, config: PipelineConfig) -> None:
-        self.config = config
-        self.minhasher = MinHasher(num_perm=config.num_perm)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.config
-        langs = batch["lang"].to_pylist()
-        stems = batch["stem"].to_pylist()
-        sigs = np.asarray(batch["minhash"].to_numpy(zero_copy_only=False).tolist(), dtype=np.uint64)
-        out: list[str] = []
-        for i, (lg, st) in enumerate(zip(langs, stems)):
-            out.extend(_keys_for_row(lg, st, self.minhasher.band_keys(sigs[i], cfg.lsh_bands)))
-        return pa.table({"block_key": pa.array(out, pa.string())})
-
-
-class _PayloadEmitter:
-    """Pass 2: emit (block_key, row_id, sig bytes, stem, sha) with salting."""
-
-    def __init__(self, config: PipelineConfig, hot_ref) -> None:
-        self.config = config
-        self.minhasher = MinHasher(num_perm=config.num_perm)
-        self.hot: dict[str, int] = ray.get(hot_ref) if hot_ref is not None else {}
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.config
-        langs = batch["lang"].to_pylist()
-        stems = batch["stem"].to_pylist()
-        row_ids = batch["row_id"].to_pylist()
-        shas = batch["content_sha256_norm"].to_pylist()
-        sigs = np.asarray(batch["minhash"].to_numpy(zero_copy_only=False).tolist(), dtype=np.uint64)
-
-        k_out, id_out, sig_out, stem_out, sha_out = [], [], [], [], []
-
-        def emit(key: str, i: int, sig_bytes: bytes) -> None:
-            k_out.append(key)
-            id_out.append(row_ids[i])
-            sig_out.append(sig_bytes)
-            stem_out.append(stems[i])
-            sha_out.append(shas[i])
-
-        for i, (lg, st) in enumerate(zip(langs, stems)):
-            sig_bytes = sigs[i].tobytes()
-            for key in _keys_for_row(lg, st, self.minhasher.band_keys(sigs[i], cfg.lsh_bands)):
-                size = self.hot.get(key)
-                if size is None:
-                    emit(key, i, sig_bytes)
-                    continue
-                # hot key: salt into sub-blocks + deterministic rep bridge
-                bucket = _stable_bucket(row_ids[i], cfg.salt_buckets)
-                emit(f"{key}#{bucket}", i, sig_bytes)
-                rep_stride = max(1, size // (4 * cfg.salt_buckets))
-                if _stable_bucket("rep:" + row_ids[i], rep_stride) == 0:
-                    emit(f"{key}#rep", i, sig_bytes)
-
-        return pa.table({
-            "block_key": pa.array(k_out, pa.string()),
-            "row_id": pa.array(id_out, pa.string()),
-            "sig": pa.array(sig_out, pa.binary()),
-            "stem": pa.array(stem_out, pa.string()),
-            "sha_norm": pa.array(sha_out, pa.string()),
-        })
+def _flat_hashes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten the ``block_hashes`` list column → (row_index, key_hash)."""
+    col = batch["block_hashes"].combine_chunks()
+    kh = col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+    lengths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+    idx = np.repeat(np.arange(batch.num_rows), lengths)
+    return idx, kh
 
 
 def block_size_census(features: ray.data.Dataset, config: PipelineConfig) -> ray.data.Dataset:
-    """Block-size histogram input: ``(block_key, n)`` — G2's hot-key
-    detection analog. One cheap key-only pass + count shuffle."""
-    keys = features.map_batches(
-        _KeyOnlyEmitter, fn_constructor_args=(config,),
-        batch_format="pyarrow", batch_size=config.batch_size,
-        concurrency=config.feature_concurrency, num_cpus=1,
+    """``(kh, n)`` per blocking key — G2's hot-key-detection analog.
+    Key-only flatten + bucketed count (vectorized np.unique per bucket)."""
+    buckets = config.census_buckets
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        _, kh = _flat_hashes(batch)
+        return pa.table({
+            "kh": pa.array(kh, pa.uint64()),
+            "bucket": pa.array((kh % np.uint64(buckets)).astype(np.int32), pa.int32()),
+        })
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        kh = group["kh"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(kh, return_counts=True)
+        return pa.table({
+            "kh": pa.array(uniq, pa.uint64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    keys = features.select_columns(["block_hashes"]).map_batches(
+        flatten, batch_format="pyarrow", batch_size=config.batch_size
     )
-    return keys.groupby("block_key").aggregate(Count(alias_name="n"))
+    return keys.groupby("bucket").map_groups(count_bucket, batch_format="pyarrow")
 
 
-def find_hot_keys(block_sizes: ray.data.Dataset, config: PipelineConfig) -> dict[str, int]:
-    """Collect keys above the salting threshold. Hot keys are few by
-    definition (each covers > max_block_rows rows), so the driver-side
-    collect is bounded by corpus_size / max_block_rows."""
-    hot = block_sizes.filter(
-        expr=f"n > {config.max_block_rows}"
-    ).take_all()
-    return {r["block_key"]: int(r["n"]) for r in hot}
+def find_hot_keys(block_sizes: ray.data.Dataset, config: PipelineConfig) -> dict[int, int]:
+    """Collect keys above the salting threshold (few by definition)."""
+    hot = block_sizes.filter(expr=f"n > {config.max_block_rows}").take_all()
+    return {int(r["kh"]): int(r["n"]) for r in hot}
+
+
+class _PayloadEmitter:
+    """Pass 2: (block_key, bucket, row_id, sig, sha_norm) with salting."""
+
+    def __init__(self, config: PipelineConfig, hot_ref) -> None:
+        self.config = config
+        self.hot: dict[int, int] = ray.get(hot_ref) if hot_ref is not None else {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.config
+        idx, kh = _flat_hashes(batch)
+        row_ids = batch["row_id"].to_pylist()
+        shas = batch["content_sha256_norm"].to_pylist()
+        sigs = batch["sig"].to_pylist()
+
+        out_key: list[int] = []
+        out_i: list[int] = []
+        if self.hot:
+            hot = self.hot
+            for i, k in zip(idx, kh):
+                ki = int(k)
+                size = hot.get(ki)
+                if size is None:
+                    out_key.append(ki); out_i.append(i)
+                    continue
+                rid = row_ids[i]
+                out_key.append(_salted(ki, _stable_bucket(rid, cfg.salt_buckets)))
+                out_i.append(i)
+                rep_stride = max(1, size // (4 * cfg.salt_buckets))
+                if _stable_bucket("rep:" + rid, rep_stride) == 0:
+                    out_key.append(_salted(ki, int(_REP_SALT)))
+                    out_i.append(i)
+        else:
+            out_key = kh.tolist()
+            out_i = idx.tolist()
+
+        key_arr = np.array(out_key, dtype=np.uint64)
+        return pa.table({
+            "block_key": pa.array(key_arr, pa.uint64()),
+            "bucket": pa.array(
+                (key_arr % np.uint64(cfg.census_buckets)).astype(np.int32), pa.int32()
+            ),
+            "row_id": pa.array([row_ids[i] for i in out_i], pa.string()),
+            "sig": pa.array([sigs[i] for i in out_i], pa.binary()),
+            "sha_norm": pa.array([shas[i] for i in out_i], pa.string()),
+        })
 
 
 def emit_block_rows(
     features: ray.data.Dataset,
     config: PipelineConfig,
-    hot_keys: dict[str, int] | None = None,
+    hot_keys: dict[int, int] | None = None,
 ) -> ray.data.Dataset:
-    """Pass 2: the payload block rows, salted per ``hot_keys``."""
+    """Pass 2: payload block rows, salted per ``hot_keys``. Singleton blocks
+    are dropped vectorized inside the pair stage's bucket groups — they never
+    cost per-group Python calls."""
     hot_ref = ray.put(hot_keys or {})
-    return features.map_batches(
+    return features.select_columns(
+        ["row_id", "content_sha256_norm", "sig", "block_hashes"]
+    ).map_batches(
         _PayloadEmitter, fn_constructor_args=(config, hot_ref),
         batch_format="pyarrow", batch_size=config.batch_size,
         concurrency=config.feature_concurrency, num_cpus=1,

@@ -1,25 +1,27 @@
-"""Transitive clustering — distributed union-find by iterated min-label
-propagation over Dataset groupbys/joins.
+"""Transitive clustering — union-find over the thresholded edge set.
 
 The reference has no clustering (its ``matching/`` package is a 0-byte
 stub); this implements the north_rule's "distributed union-find
 (hash-partitioned iterative star-contraction over Dataset groupby)".
 
-Algorithm (all state lives in Datasets, never on the driver):
+Two scale-adaptive paths, chosen by edge count (``PipelineConfig.
+driver_cc_max_edges``):
 
-* ``labels``: one row per node appearing in any edge, ``label = node``.
-* per iteration: hash-join neighbor labels onto the symmetric edge list,
-  union with the self rows (which carry ``old = label``), then one
+* **small (≤ threshold)** — collect the edge list (narrow: two ids per row)
+  and run path-compressed union-find on the driver. The Ray guide blesses
+  this exactly when "the candidate set is provably small"; after exact-dup
+  collapse + blocking, edges ≈ O(duplicates), orders of magnitude below the
+  corpus.
+* **large** — iterated min-label propagation over Datasets: per round one
+  hash-partitioned join (neighbor labels onto the symmetric edge list) + one
   ``groupby(node).aggregate(Min(label), Max(old))``. ``Max(old)`` recovers
   each node's previous label (aggregates skip nulls), so the exact
-  per-iteration change count is a *dataset aggregate* — convergence
-  detection without driver-side diffing (SURVEY.md §7.4).
-* iterate until ``changed == 0`` (≤ graph diameter rounds; near-dup
-  components are near-cliques, so typically 2–3).
+  per-round change count is a dataset aggregate — convergence detection
+  without driver state (SURVEY.md §7.4). Labels start at min(self,
+  neighbors), so stars/cliques converge in 1-2 verification rounds.
 
-Labels are min row_ids, so the final cluster label is the component's
-smallest row_id — deterministic for golden compares (O4 lesson,
-``map.py:248-268``).
+Either path returns labels = min row_id of the component — deterministic
+for golden compares (O4 lesson, ``map.py:248-268``).
 """
 
 from __future__ import annotations
@@ -29,7 +31,7 @@ import logging
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min
+from ray.data.aggregate import Max, Min
 
 logger = logging.getLogger(__name__)
 
@@ -61,24 +63,43 @@ def _empty_clusters() -> ray.data.Dataset:
     }))
 
 
-def connected_components(
-    edges: ray.data.Dataset,
-    max_iters: int = 25,
-    num_partitions: int | None = None,
-) -> ray.data.Dataset:
-    """Edges ``(u, v)`` → ``(row_id, cluster_label)`` for every node that
-    appears in an edge (singletons are absent; callers fill them in).
+def _driver_union_find(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Path-compressed union-find on the collected (narrow) edge list."""
+    tbl = pa.concat_tables(
+        ray.get(edges.select_columns(["u", "v"]).to_arrow_refs())
+    ).combine_chunks()
+    u = tbl["u"].to_pylist()
+    v = tbl["v"].to_pylist()
+    parent: dict[str, str] = {}
 
-    Each iteration is one hash-partitioned join + one groupby — both
-    all-to-all on the (small, edge-node-only) label table, never on the
-    corpus.
-    """
-    # pin the edge list once: every iteration (and the count) reads the
-    # materialized copy instead of re-running the upstream pipeline
-    edges = edges.materialize()
+    def find(x: str) -> str:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(u, v):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by label order keeps the min id as the root
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    nodes = list(parent.keys())
+    labels = [find(x) for x in nodes]
+    return ray.data.from_arrow(pa.table({
+        "row_id": pa.array(nodes, pa.string()),
+        "cluster_label": pa.array(labels, pa.string()),
+    }))
+
+
+def _distributed_label_prop(
+    edges: ray.data.Dataset, max_iters: int, num_partitions: int | None
+) -> ray.data.Dataset:
     n_edges = edges.count()
-    if n_edges == 0:
-        return _empty_clusters()
     num_partitions = num_partitions or _partitions_for(2 * n_edges)
 
     def symmetrize(batch: pa.Table) -> pa.Table:
@@ -91,10 +112,15 @@ def connected_components(
         symmetrize, batch_format="pyarrow"
     ).materialize()
 
+    # initialize each node's label to min(self, neighbors) — one aggregate
+    # replaces the first propagation round
     labels = (
-        msgs.groupby("src").aggregate(Count(alias_name="_n"))
+        msgs.groupby("src").aggregate(Min("dst", alias_name="_min_nbr"))
         .map_batches(
-            lambda t: pa.table({"node": t["src"], "label": t["src"]}),
+            lambda t: pa.table({
+                "node": t["src"],
+                "label": pa.compute.min_element_wise(t["src"], t["_min_nbr"]),
+            }),
             batch_format="pyarrow",
         )
         .materialize()
@@ -119,8 +145,15 @@ def connected_components(
         agg = nbr.union(self_rows).groupby("node").aggregate(
             Min("label", alias_name="label"), Max("old", alias_name="old")
         ).materialize()
-        changed = agg.filter(lambda r: r["label"] != r["old"]).count()
-        labels = agg.select_columns(["node", "label"]).materialize()
+        changed = int(agg.map_batches(
+            lambda t: pa.table({"c": [
+                pa.compute.sum(pa.compute.cast(
+                    pa.compute.not_equal(t["label"], t["old"]), pa.int64()
+                )).as_py() or 0
+            ]}),
+            batch_format="pyarrow",
+        ).sum("c") or 0)
+        labels = agg.select_columns(["node", "label"])
         logger.info("connected_components iter %d: %d labels changed", it, changed)
         if changed == 0:
             break
@@ -133,28 +166,87 @@ def connected_components(
     )
 
 
+def connected_components(
+    edges: ray.data.Dataset,
+    max_iters: int = 25,
+    num_partitions: int | None = None,
+    driver_max_edges: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Edges ``(u, v)`` → ``(row_id, cluster_label)`` for every node that
+    appears in an edge (singletons are absent; callers fill them in)."""
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return _empty_clusters()
+    if n_edges <= driver_max_edges:
+        return _driver_union_find(edges)
+    return _distributed_label_prop(edges, max_iters, num_partitions)
+
+
 def assign_clusters(
     all_rows: ray.data.Dataset,
     components: ray.data.Dataset,
     num_partitions: int | None = None,
+    broadcast_max: int = 2_000_000,
 ) -> ray.data.Dataset:
-    """Left-join components onto the full row table; nodes without an edge
-    become singleton clusters labeled by their own row_id. Then relabel each
-    cluster with the canonical ``cluster_id = min(content_sha256)`` of its
-    members (FIXTURES.md §3 convention).
+    """Attach cluster ids to every row; nodes without an edge become
+    singleton clusters. Canonical ``cluster_id = min(content_sha256)`` of the
+    cluster's members (FIXTURES.md §3 convention).
 
-    ``all_rows`` needs columns ``row_id, content_sha256``.
+    Small component maps (≤ ``broadcast_max`` rows) broadcast via ``ray.put``
+    and resolve in ONE pass over the corpus (no joins); larger maps fall
+    back to hash-partitioned joins. ``all_rows`` needs ``row_id,
+    content_sha256``.
     """
     slim = all_rows.select_columns(["row_id", "content_sha256"])
-    if components.count() == 0:
-        # no edges at all: every row is its own singleton cluster — joining
-        # against an empty dataset would drop the right-side schema
+    n_comp = components.count()
+    if n_comp == 0:
         return slim.map_batches(
             lambda t: pa.table({
                 "row_id": t["row_id"], "cluster_id": t["content_sha256"],
             }),
             batch_format="pyarrow",
         )
+
+    if n_comp <= broadcast_max:
+        comp_tbl = pa.concat_tables(ray.get(components.to_arrow_refs()))
+        label_of = dict(zip(
+            comp_tbl["row_id"].to_pylist(), comp_tbl["cluster_label"].to_pylist()
+        ))
+        # canonical sha per cluster label, computed from member rows only
+        member_ids = pa.array(sorted(label_of), pa.string())
+
+        def pick_members(t: pa.Table) -> pa.Table:
+            return t.filter(pa.compute.is_in(t["row_id"], value_set=member_ids))
+
+        members = pa.concat_tables(ray.get(
+            slim.map_batches(pick_members, batch_format="pyarrow").to_arrow_refs()
+        ))
+        canon: dict[str, str] = {}
+        for rid, sha in zip(
+            members["row_id"].to_pylist(), members["content_sha256"].to_pylist()
+        ):
+            lab = label_of[rid]
+            prev = canon.get(lab)
+            if prev is None or sha < prev:
+                canon[lab] = sha
+        maps_ref = ray.put((label_of, canon))
+
+        def resolve(t: pa.Table) -> pa.Table:
+            lmap, cmap = ray.get(maps_ref)
+            rids = t["row_id"].to_pylist()
+            shas = t["content_sha256"].to_pylist()
+            out = [
+                cmap[lmap[r]] if r in lmap else s for r, s in zip(rids, shas)
+            ]
+            return pa.table({
+                "row_id": t["row_id"],
+                "cluster_id": pa.array(out, pa.string()),
+            })
+
+        return slim.map_batches(resolve, batch_format="pyarrow")
+
+    # large-map path: two hash joins + a groupby, all partitioned
     num_partitions = num_partitions or _partitions_for(slim.count())
     joined = slim.join(
         components, join_type="left_outer", num_partitions=num_partitions,
@@ -168,10 +260,10 @@ def assign_clusters(
         batch_format="pyarrow",
     ).materialize()
 
-    canon = joined.groupby("cluster_label").aggregate(
+    canon_ds = joined.groupby("cluster_label").aggregate(
         Min("content_sha256", alias_name="cluster_id")
     )
     return joined.join(
-        canon, join_type="inner", num_partitions=num_partitions,
+        canon_ds, join_type="inner", num_partitions=num_partitions,
         on=("cluster_label",), **_JOIN_ARGS,
     ).select_columns(["row_id", "cluster_id"])

@@ -19,20 +19,27 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data
-
-
-def _tag_rep(group: pa.Table) -> pa.Table:
-    """Within one sha-group: rep_row_id = min(row_id) appended to each row."""
-    rep = pc.min(group["row_id"]).as_py()
-    return group.append_column(
-        "rep_row_id", pa.array([rep] * group.num_rows, pa.string())
-    )
+from ray.data.aggregate import Min
 
 
 def tag_exact_groups(normalized: ray.data.Dataset, key: str = "content_sha256_norm") -> ray.data.Dataset:
-    """The single content shuffle: every row gains ``rep_row_id``."""
-    return normalized.groupby(key).map_groups(_tag_rep, batch_format="pyarrow")
+    """Every row gains ``rep_row_id`` = min(row_id) of its sha-group.
+
+    Implemented as a narrow vectorized aggregate (only ``(sha, row_id)``
+    shuffles for the min) followed by one hash join that carries the wide
+    rows — NOT ``groupby().map_groups`` (per-group Python calls dominate when
+    most groups are singletons)."""
+    mins = normalized.select_columns([key, "row_id"]).groupby(key).aggregate(
+        Min("row_id", alias_name="rep_row_id")
+    )
+    n = mins.count()
+    num_partitions = max(1, min(16, n // 2000 + 1))
+    return normalized.join(
+        mins, join_type="inner", num_partitions=num_partitions, on=(key,),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
 
 
 def split_reps_and_edges(

@@ -11,13 +11,21 @@ all built once in ``__init__`` and reused for every batch.
 Input: normalized corpus (needs ``content``, ``lang``).
 Output: drops ``content`` (wide rows must not ride the blocking shuffle) and
 adds:
-  minhash   fixed-length list<uint64> signature over comment-stripped,
-            stop-token-stripped k-token shingles
-  simhash   uint64 (for the SimHash near-dup operator)
+  sig        binary — the MinHash signature (num_perm × uint64 bytes)
+  block_hashes  list<uint64> — one blocking-key hash per LSH band plus one
+             for the (lang, stem) key, computed ONCE here so the blocking
+             census and payload passes never recompute them. uint64 hashes
+             instead of strings: the census/pair shuffles sort integers
+             (cheap) instead of 20-char strings, and a 64-bit collision
+             merely merges two blocks (extra scored pairs, no correctness
+             loss — scoring filters them).
+  simhash    uint64 (for the SimHash near-dup operator)
   n_tokens_sig  int64 — token count entering the signature
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -67,27 +75,41 @@ class FeatureExtractor:
         contents = batch["content"].to_pylist()
         langs = batch["lang"].to_pylist()
         k_default = self.config.shingle_k
+        bands = self.config.lsh_bands
+
+        stems = batch["stem"].to_pylist()
+        r = self.config.rows_per_band
+        sha1 = hashlib.sha1
 
         n = len(contents)
-        sigs = np.empty((n, self.config.num_perm), dtype=np.uint64)
+        sig_bytes: list[bytes] = []
+        block_hashes: list[np.ndarray] = []
         simhashes = np.empty(n, dtype=np.uint64)
         n_tok = np.empty(n, dtype=np.int64)
-        for i, (c, lg) in enumerate(zip(contents, langs)):
+        for i, (c, lg, st) in enumerate(zip(contents, langs, stems)):
             toks = self._doc_tokens(c, lg)
             lc = self.lang_configs.get(lg)
             k = lc.shingle_k if lc is not None else k_default
             sh = shingle_hashes(toks, k, self.token_hasher)
-            sigs[i] = self.minhasher.signature(sh)
+            sig = self.minhasher.signature(sh)
+            sig_bytes.append(sig.tobytes())
+            sigb = sig.tobytes()
+            hashes = np.empty(bands + (1 if st else 0), dtype=np.uint64)
+            for b in range(bands):
+                d = sha1(f"L|{lg}|{b}|".encode() + sigb[b * r * 8 : (b + 1) * r * 8]).digest()
+                hashes[b] = int.from_bytes(d[:8], "big")
+            if st:
+                d = sha1(f"S|{lg}|{st}".encode()).digest()
+                hashes[bands] = int.from_bytes(d[:8], "big")
+            block_hashes.append(hashes)
             simhashes[i] = self.simhasher.simhash(toks)
             n_tok[i] = len(toks)
 
         out = batch.select([c for c in KEEP_COLUMNS if c in batch.column_names])
-        sig_col = pa.FixedSizeListArray.from_arrays(
-            pa.array(sigs.ravel(), pa.uint64()), self.config.num_perm
-        )
         return (
             out
-            .append_column("minhash", sig_col)
+            .append_column("sig", pa.array(sig_bytes, pa.binary()))
+            .append_column("block_hashes", pa.array(block_hashes, pa.list_(pa.uint64())))
             .append_column("simhash", pa.array(simhashes, pa.uint64()))
             .append_column("n_tokens_sig", pa.array(n_tok, pa.int64()))
         )

@@ -2,19 +2,23 @@
 
 Reference analog: the best-match ranking semantics (rank candidates, take
 best, ``static_parser.py:139-147``) generalized to all-pairs scoring within a
-block. This is the engine's ONE large-large "join", expressed as
-``groupby(block_key).map_groups(score_block)`` — never a cross join
+block. This is the engine's ONE large-large "join", expressed as a bucketed
+``groupby(bucket).map_groups(score_bucket)`` — never a cross join
 (SURVEY.md §2.4).
 
-Within a block of k rows the MinHash-estimated Jaccard of all k·(k−1)/2
-pairs is computed as one vectorized numpy comparison over the stacked
-signature matrix (chunked so peak memory stays ~O(k·128) per chunk row
-band). Blocks are already bounded by the salting threshold; a hard
-``max_pairs_per_block`` cap guards the O(k²) blowup and overflow is *logged,
-never silent* (SURVEY.md §7.4).
+All rows of a block key share a bucket (``bucket = block_key %
+census_buckets``), so one bucket group holds whole blocks. Inside the bucket
+the rows are numpy-sorted by key; singleton blocks vanish in one vectorized
+mask (no per-group Python — the dominant cost of a naive high-cardinality
+``groupby(block_key)``); each multi-row block is scored as one vectorized
+MinHash-equality matmul over the stacked signature matrix. Blocks are
+already bounded by the salting threshold; a hard ``max_pairs_per_block`` cap
+guards the O(k²) blowup and overflow is *logged, never silent*
+(SURVEY.md §7.4).
 
 Emits edges ``(u, v, score)`` with ``u < v``; duplicates across bands/key
-families are collapsed by a ``groupby(u, v).max(score)``.
+families are collapsed by a bucketed unique-max (same bucket trick, keyed on
+``hash(u, v)``).
 """
 
 from __future__ import annotations
@@ -24,76 +28,118 @@ import logging
 import numpy as np
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Max
 
 from localhost_address_matching_ray.config import PipelineConfig
 
 logger = logging.getLogger(__name__)
 
+_EMPTY_EDGES = {
+    "u": pa.array([], pa.string()),
+    "v": pa.array([], pa.string()),
+    "score": pa.array([], pa.float64()),
+}
 
-def _score_block_factory(config: PipelineConfig):
-    num_perm = config.num_perm
+
+def _score_block(
+    ids: np.ndarray, sigs: np.ndarray, threshold: float, max_pairs: int,
+    us: list, vs: list, scores: list,
+) -> None:
+    """All-pairs MinHash-estimated Jaccard for one block (vectorized)."""
+    k = len(ids)
+    if k * (k - 1) // 2 > max_pairs:
+        keep = int((2 * max_pairs) ** 0.5) + 1
+        order = np.argsort(ids)
+        logger.warning(
+            "block overflow: %d rows -> %d kept (pair cap %d)", k, keep, max_pairs
+        )
+        ids = ids[order[:keep]]
+        sigs = sigs[order[:keep]]
+        k = keep
+    num_perm = sigs.shape[1]
+    chunk = max(1, 4_000_000 // (k * num_perm + 1))
+    for start in range(0, k - 1, chunk):
+        stop = min(start + chunk, k - 1)
+        sim = (sigs[start:stop, None, :] == sigs[None, :, :]).mean(axis=2)
+        for ii in range(start, stop):
+            row = sim[ii - start]
+            js = np.nonzero(row[ii + 1 :] >= threshold)[0] + ii + 1
+            a = ids[ii]
+            for j in js:
+                b = ids[j]
+                if a < b:
+                    us.append(a); vs.append(b)
+                else:
+                    us.append(b); vs.append(a)
+                scores.append(float(row[j]))
+
+
+def _score_bucket_factory(config: PipelineConfig):
     threshold = config.jaccard_threshold
     max_pairs = config.max_pairs_per_block
+    num_perm = config.num_perm
 
-    def score_block(group: pa.Table) -> pa.Table:
-        k = group.num_rows
-        if k < 2:
-            return pa.table({
-                "u": pa.array([], pa.string()),
-                "v": pa.array([], pa.string()),
-                "score": pa.array([], pa.float64()),
-            })
-        row_ids = group["row_id"].to_pylist()
-        if k * (k - 1) // 2 > max_pairs:
-            # O(k²) guard: deterministically truncate (sorted by row_id) and
-            # log the coverage loss — no silent caps.
-            keep = int((2 * max_pairs) ** 0.5) + 1
-            order = np.argsort(np.asarray(row_ids))
-            idx = order[:keep]
-            logger.warning(
-                "block %s overflow: %d rows → %d kept (pair cap %d)",
-                group["block_key"][0].as_py(), k, keep, max_pairs,
-            )
-            group = group.take(pa.array(idx, pa.int64()))
-            row_ids = group["row_id"].to_pylist()
-            k = group.num_rows
+    def score_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return pa.table(_EMPTY_EDGES)
+        kh = group["block_key"].to_numpy(zero_copy_only=False)
+        order = np.argsort(kh, kind="stable")
+        kh = kh[order]
+        ids = np.asarray(group["row_id"].to_pylist(), dtype=object)[order]
+        sig_flat = np.frombuffer(
+            b"".join(group["sig"].to_pylist()), dtype=np.uint64
+        ).reshape(n, num_perm)[order]
 
-        sig_flat = group["minhash_bytes"] if "minhash_bytes" in group.column_names else group["sig"]
-        sigs = np.frombuffer(b"".join(sig_flat.to_pylist()), dtype=np.uint64).reshape(k, num_perm)
-
-        ids = np.asarray(row_ids)
-        us, vs, scores = [], [], []
-        # pairwise equality fraction, chunked over i to bound memory
-        chunk = max(1, 4_000_000 // (k * num_perm + 1))
-        for start in range(0, k - 1, chunk):
-            stop = min(start + chunk, k - 1)
-            # rows start..stop−1 against all rows j > i
-            block = (sigs[start:stop, None, :] == sigs[None, :, :]).mean(axis=2)
-            for ii in range(start, stop):
-                row = block[ii - start]
-                js = np.nonzero(row[ii + 1:] >= threshold)[0] + ii + 1
-                if len(js):
-                    a = ids[ii]
-                    for j in js:
-                        b = ids[j]
-                        if a < b:
-                            us.append(a); vs.append(b)
-                        else:
-                            us.append(b); vs.append(a)
-                        scores.append(float(row[j]))
+        # block boundaries: runs of equal key
+        boundaries = np.flatnonzero(np.diff(kh)) + 1
+        starts = np.concatenate(([0], boundaries))
+        ends = np.concatenate((boundaries, [n]))
+        us: list = []; vs: list = []; scores: list = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue  # singleton block — vectorized skip, no Python group call
+            # dedup identical row within one block (same row via two families
+            # cannot happen — families hash differently — but exact-dup sig
+            # repeats are fine to score)
+            _score_block(ids[s:e], sig_flat[s:e], threshold, max_pairs, us, vs, scores)
         return pa.table({
             "u": pa.array(us, pa.string()),
             "v": pa.array(vs, pa.string()),
             "score": pa.array(scores, pa.float64()),
         })
 
-    return score_block
+    return score_bucket
 
 
 def candidate_edges(blocks: ray.data.Dataset, config: PipelineConfig) -> ray.data.Dataset:
-    """`groupby(block_key).map_groups(score)` → deduped edges (u, v, score)."""
-    raw = blocks.groupby("block_key").map_groups(
-        _score_block_factory(config), batch_format="pyarrow"
+    """Bucketed groupby → per-block vectorized scoring → bucketed pair dedup
+    (max score per (u, v))."""
+    raw = blocks.groupby("bucket").map_groups(
+        _score_bucket_factory(config), batch_format="pyarrow"
     )
-    return raw.groupby(["u", "v"]).aggregate(Max("score", alias_name="score"))
+
+    buckets = config.census_buckets
+
+    def tag_pair_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("pbucket", pa.array([], pa.int32()))
+        import hashlib
+
+        pb = [
+            int.from_bytes(hashlib.sha1(f"{u}|{v}".encode()).digest()[:4], "big") % buckets
+            for u, v in zip(t["u"].to_pylist(), t["v"].to_pylist())
+        ]
+        return t.append_column("pbucket", pa.array(pb, pa.int32()))
+
+    def dedup_bucket(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(group.select(["u", "v", "score"]))
+        out = df.group_by(["u", "v"]).agg(pl.col("score").max()).to_arrow()
+        return out.cast(pa.schema([
+            ("u", pa.string()), ("v", pa.string()), ("score", pa.float64()),
+        ]))
+
+    return raw.map_batches(tag_pair_bucket, batch_format="pyarrow").groupby(
+        "pbucket"
+    ).map_groups(dedup_bucket, batch_format="pyarrow")
