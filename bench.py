@@ -9,9 +9,10 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
      "rows_per_sec": ..., "sf": ..., "num_cpus": N}
 
 ``--scaling`` runs the headline pipeline in two FRESH processes
-(num_cpus=8 then 32) on the same input — the sandbox proxy for the
-north_rule's N vs 4N cluster-size criterion — and prints throughput at both
-plus scaling efficiency.
+(default num_cpus=4 then 16 — the N vs 4N pair; override via
+GRAFT_SCALING_LO/HI) on the same input — the sandbox proxy for the
+north_rule's cluster-size criterion — and prints throughput at both plus
+scaling efficiency.
 
 The linkage corpus is the deterministic fixture generator at bench scale
 (FIXTURES.md), generated once and cached as Parquet under /tmp (generation
@@ -30,12 +31,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "30000"))
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "250000"))
+#: realistic source-file sizes (~3 KB) — the domain the 100 TB target implies;
+#: tiny synthetic docs under-weight compute vs coordination
+BENCH_MIN_LINES = 25
+BENCH_MAX_LINES = 75
 SEED = 42
 
 
 def _bench_corpus_path() -> str:
-    return f"/tmp/linkage_bench/corpus_n{BENCH_ROWS}_s{SEED}"
+    return f"/tmp/linkage_bench/corpus_v2_n{BENCH_ROWS}_s{SEED}"
 
 
 def ensure_bench_corpus() -> str:
@@ -49,9 +54,25 @@ def ensure_bench_corpus() -> str:
 
         os.makedirs(path, exist_ok=True)
         tables = generate_corpus(
-            CorpusSpec(n_base=BENCH_ROWS, seed=SEED, hot_cluster_size=max(600, BENCH_ROWS // 50))
+            CorpusSpec(
+                n_base=BENCH_ROWS, seed=SEED,
+                hot_cluster_size=max(600, BENCH_ROWS // 50),
+                min_lines=BENCH_MIN_LINES, max_lines=BENCH_MAX_LINES,
+            )
         )
-        pq.write_table(tables["corpus"], os.path.join(path, "corpus.parquet"))
+        # many part files: Ray's parquet read parallelizes per file — one
+        # giant file means one decode task (and isn't resumable either)
+        corpus = tables["corpus"]
+        os.makedirs(os.path.join(path, "corpus"), exist_ok=True)
+        n_parts = 32
+        step = -(-corpus.num_rows // n_parts)
+        for i in range(n_parts):
+            part = corpus.slice(i * step, step)
+            if part.num_rows:
+                pq.write_table(
+                    part, os.path.join(path, "corpus", f"part-{i:03d}.parquet"),
+                    row_group_size=8192,
+                )
         pq.write_table(tables["labeled_pairs"], os.path.join(path, "labeled_pairs.parquet"))
         with open(marker, "w") as f:
             f.write("ok")
@@ -67,14 +88,13 @@ def run_linkage() -> dict:
     from localhost_address_matching_ray.pipelines.linkage import link_corpus
 
     path = ensure_bench_corpus()
-    corpus_file = os.path.join(path, "corpus.parquet")
+    corpus_dir = os.path.join(path, "corpus")
+    files = sorted(os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir))
     # warm OS page cache (untimed)
-    pq.read_table(corpus_file)
-
-    n_rows = pq.read_metadata(corpus_file).num_rows
-    cfg = PipelineConfig(feature_concurrency=max(2, NUM_CPUS // 2))
+    n_rows = sum(pq.read_table(f).num_rows for f in files)
+    cfg = PipelineConfig(feature_concurrency=max(2, NUM_CPUS - 2))
     t0 = time.time()
-    corpus = ray.data.read_parquet(corpus_file)
+    corpus = ray.data.read_parquet(corpus_dir)
     res = link_corpus(corpus, cfg)
     n_out = res["clusters"].count()
     sec = time.time() - t0
@@ -148,7 +168,8 @@ def scaling() -> None:
         )
         return json.loads(res.stdout.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
     r_lo, r_hi = run(lo), run(hi)
     tput_lo = r_lo["rows_per_sec"]
     tput_hi = r_hi["rows_per_sec"]

@@ -57,11 +57,24 @@ class PipelineConfig:
     # --- blocking / skew ---
     max_block_rows: int = 512    # blocks above this are salted into sub-blocks
     max_pairs_per_block: int = 200_000  # hard O(k²) guard; overflow is logged
+    max_edges_per_row_per_block: int = 8  # degree cap: a spanning subset of a
+                                          # near-clique's edges is enough for
+                                          # transitive clustering; full O(k²)
+                                          # emission only bloats the CC input
     salt_buckets: int = 8        # sub-blocks per hot key
 
     # --- scoring / clustering ---
     jaccard_threshold: float = 0.60   # shingle-Jaccard edge threshold (non-dups score ~0, minor edits ~0.7+)
     stem_sim_threshold: float = 0.90  # Jaro-Winkler path-stem assist threshold
+
+    # --- pipeline shape ---
+    collapse_exact_first: bool = False
+    # True: groupby(content_sha256_norm) collapses exact dups to reps before
+    #   the feature stage — saves feature compute on high-dup corpora at the
+    #   price of one full-content hash join.
+    # False (default): exact dups ride the normal LSH path (identical sigs ⇒
+    #   same bands ⇒ score 1.0 edges) — content never enters a shuffle; the
+    #   pipeline's only all-to-all ops carry ids + 128-byte sigs.
 
     # --- scale-adaptive machinery ---
     census_buckets: int = 64          # low-cardinality bucket groupby width
@@ -70,7 +83,10 @@ class PipelineConfig:
 
     # --- execution ---
     batch_size: int = 4096
-    feature_concurrency: int = 4      # actor-pool size for the feature stage
+    feature_concurrency: int = 4      # actor-pool size (if feature_use_actors)
+    feature_use_actors: bool = False  # False: stateless tasks w/ per-process
+                                      # cached state (cheap-state default);
+                                      # True: actor pool (heavy models)
     checkpoint_dir: str | None = None # None = no checkpointing
     pipeline_version: str = "v1"      # invalidates stale checkpoints (map.py:175 lesson)
 
@@ -81,3 +97,18 @@ class PipelineConfig:
     @property
     def rows_per_band(self) -> int:
         return self.num_perm // self.lsh_bands
+
+
+def default_pool_size(requested: int | None = None) -> int:
+    """Actor-pool size that leaves headroom for the read/shuffle stages: a
+    pool that reserves every CPU starves the rest of the pipeline and can
+    deadlock a small session (ray_guide: size concurrency x num_cpus so the
+    pool fits beside the other stages)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    except Exception:
+        cpus = 4
+    cap = max(1, cpus - 2)
+    return min(requested, cap) if requested else cap

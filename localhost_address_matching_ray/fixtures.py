@@ -83,13 +83,20 @@ def _commit(rng: random.Random) -> str:
 
 
 def _gen_body(rng: random.Random, vocab: list[str], lang: str, spec: CorpusSpec) -> str:
-    """A code-ish document: a comment header + lines of identifier tokens."""
+    """A code-ish document: a comment header + lines of identifier tokens.
+    Token sampling is one bulk ``rng.choices`` call (the per-token
+    ``rng.choice`` loop dominated generation time at bench scales)."""
     lines = []
     cm = _COMMENT[lang]
     if cm:
         lines.append(f"{cm} module {rng.choice(vocab)} generated")
-    for _ in range(rng.randint(spec.min_lines, spec.max_lines)):
-        lines.append(" ".join(rng.choice(vocab) for _ in range(rng.randint(4, 9))))
+    n_lines = rng.randint(spec.min_lines, spec.max_lines)
+    counts = [rng.randint(4, 9) for _ in range(n_lines)]
+    toks = rng.choices(vocab, k=sum(counts))
+    pos = 0
+    for c in counts:
+        lines.append(" ".join(toks[pos:pos + c]))
+        pos += c
     return "\n".join(lines) + "\n"
 
 

@@ -38,31 +38,55 @@ def link_corpus(
 ) -> dict[str, ray.data.Dataset]:
     """Run the full pipeline; returns the named intermediate Datasets plus
     the final ``clusters`` (row_id, cluster_id)."""
+    import ray
+
     config = config or PipelineConfig()
     metrics = metrics or StageMetrics()
     ckpt = config.checkpoint_dir
     ver = config.pipeline_version
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nblocks = max(8, cpus * 2)
 
     normalized = load_or_compute(
         ckpt, input_fingerprint, "normalized", ver,
         lambda: normalize_corpus(corpus, config.batch_size),
     )
 
-    tagged = load_or_compute(
-        ckpt, input_fingerprint, "exact_tagged", ver,
-        lambda: tag_exact_groups(normalized),
-    )
-    if ckpt is None:
-        # tagged has three consumers (reps→features, exact edges, final
-        # cluster assignment) — pin it once instead of re-running the
-        # normalize+shuffle lineage per consumer. With checkpointing on, the
-        # durable Parquet copy plays this role.
-        tagged = tagged.materialize()
-    reps, exact_edges = split_reps_and_edges(tagged)
+    if config.collapse_exact_first:
+        tagged = load_or_compute(
+            ckpt, input_fingerprint, "exact_tagged", ver,
+            lambda: tag_exact_groups(normalized),
+        )
+        if ckpt is None:
+            # tagged has three consumers (reps→features, exact edges, final
+            # cluster assignment) — pin it once instead of re-running the
+            # normalize+shuffle lineage per consumer. With checkpointing on,
+            # the durable Parquet copy plays this role.
+            tagged = tagged.materialize()
+        reps, exact_edges = split_reps_and_edges(tagged)
+        rows_view = tagged
+    else:
+        # exact dups cluster via identical MinHash signatures — no content
+        # join; the wide column never rides any shuffle
+        if ckpt is None:
+            normalized = normalized.materialize()
+        if normalized.num_blocks() < max(8, cpus):
+            # parallelism floor: a single-file source yields a handful of
+            # blocks, which would serialize the feature stage (block
+            # split/merge only — not a key shuffle)
+            normalized = normalized.repartition(nblocks).materialize()
+        reps, exact_edges = normalized, None
+        rows_view = normalized
 
     features = load_or_compute(
         ckpt, input_fingerprint, "features", ver,
-        lambda: extract_features(reps, config),
+        lambda: extract_features(
+            # the collapse path's reps inherit the join's partitioning
+            # (often < CPUs) — resplit; the default path is already split
+            reps.repartition(nblocks) if config.collapse_exact_first else reps,
+            config,
+        ),
     )
     if ckpt is None:
         # blocking reads features twice (census + payload): pin the
@@ -77,10 +101,12 @@ def link_corpus(
     blocks = emit_block_rows(features, config, hot)
 
     from localhost_address_matching_ray.stages.pairs import candidate_edges
-    near_edges = load_or_compute(
-        ckpt, input_fingerprint, "edges", ver,
-        lambda: candidate_edges(blocks, config).union(exact_edges),
-    )
+
+    def _edges() -> ray.data.Dataset:
+        e = candidate_edges(blocks, config)
+        return e.union(exact_edges) if exact_edges is not None else e
+
+    near_edges = load_or_compute(ckpt, input_fingerprint, "edges", ver, _edges)
     if ckpt is None:
         # edges are read by CC iterations and metrics — pin the (small) table
         near_edges = near_edges.materialize()
@@ -91,7 +117,7 @@ def link_corpus(
     clusters = load_or_compute(
         ckpt, input_fingerprint, "clusters", ver,
         lambda: assign_clusters(
-            tagged, components, broadcast_max=config.broadcast_components_max
+            rows_view, components, broadcast_max=config.broadcast_components_max
         ),
     )
     if ckpt is None:
@@ -101,8 +127,7 @@ def link_corpus(
     metrics.count("cluster", "edge_rows", near_edges.count())
 
     return {
-        # tagged == normalized + rep_row_id; exposed as the normalized view
-        "normalized": tagged,
+        "normalized": rows_view,
         "reps": reps,
         "features": features,
         "edges": near_edges,

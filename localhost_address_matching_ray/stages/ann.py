@@ -69,7 +69,7 @@ def ann_topk(
     query_ids: np.ndarray,
     query_matrix: np.ndarray,
     k: int = 10,
-    concurrency: int = 4,
+    concurrency: int | None = None,
 ) -> ray.data.Dataset:
     """Global top-k cosine neighbors (self excluded) for each query row.
 
@@ -79,10 +79,12 @@ def ann_topk(
     Output: (query_id, neighbor_id, rank, score).
     """
     ref = ray.put({"ids": np.asarray(query_ids), "matrix": np.asarray(query_matrix)})
+    from localhost_address_matching_ray.config import default_pool_size
+
     cands = embeddings.map_batches(
         _TopKScorer, fn_constructor_args=(ref, k),
         batch_format="pyarrow", batch_size=4096,
-        concurrency=concurrency, num_cpus=1,
+        concurrency=default_pool_size(concurrency), num_cpus=1,
     )
 
     def reduce_group(g: pa.Table) -> pa.Table:

@@ -102,18 +102,26 @@ def find_hot_keys(block_sizes: ray.data.Dataset, config: PipelineConfig) -> dict
 
 
 class _PayloadEmitter:
-    """Pass 2: (block_key, bucket, row_id, sig, sha_norm) with salting."""
+    """Pass 2: (block_key, bucket, row_id, sig8) with salting. Plain callable
+    used as a stateless task fn — the broadcast hot dict rides the object
+    store (``ray.get`` of the same ref is cached per worker)."""
 
     def __init__(self, config: PipelineConfig, hot_ref) -> None:
         self.config = config
-        self.hot: dict[int, int] = ray.get(hot_ref) if hot_ref is not None else {}
+        self._hot_ref = hot_ref
+        self._hot: dict[int, int] | None = None
+
+    @property
+    def hot(self) -> dict[int, int]:
+        if self._hot is None:
+            self._hot = ray.get(self._hot_ref) if self._hot_ref is not None else {}
+        return self._hot
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.config
         idx, kh = _flat_hashes(batch)
         row_ids = batch["row_id"].to_pylist()
-        shas = batch["content_sha256_norm"].to_pylist()
-        sigs = batch["sig"].to_pylist()
+        sigs = batch["sig8"].to_pylist()
 
         out_key: list[int] = []
         out_i: list[int] = []
@@ -126,9 +134,12 @@ class _PayloadEmitter:
                     out_key.append(ki); out_i.append(i)
                     continue
                 rid = row_ids[i]
-                out_key.append(_salted(ki, _stable_bucket(rid, cfg.salt_buckets)))
+                # sub-block count scales with the key's size so sub-blocks
+                # stay ~max_block_rows/2 even for pathologically hot keys
+                n_sub = max(cfg.salt_buckets, -(-size // (cfg.max_block_rows // 2)))
+                out_key.append(_salted(ki, _stable_bucket(rid, n_sub)))
                 out_i.append(i)
-                rep_stride = max(1, size // (4 * cfg.salt_buckets))
+                rep_stride = max(1, size // (4 * n_sub))
                 if _stable_bucket("rep:" + rid, rep_stride) == 0:
                     out_key.append(_salted(ki, int(_REP_SALT)))
                     out_i.append(i)
@@ -144,7 +155,6 @@ class _PayloadEmitter:
             ),
             "row_id": pa.array([row_ids[i] for i in out_i], pa.string()),
             "sig": pa.array([sigs[i] for i in out_i], pa.binary()),
-            "sha_norm": pa.array([shas[i] for i in out_i], pa.string()),
         })
 
 
@@ -158,9 +168,8 @@ def emit_block_rows(
     cost per-group Python calls."""
     hot_ref = ray.put(hot_keys or {})
     return features.select_columns(
-        ["row_id", "content_sha256_norm", "sig", "block_hashes"]
+        ["row_id", "sig8", "block_hashes"]
     ).map_batches(
-        _PayloadEmitter, fn_constructor_args=(config, hot_ref),
+        _PayloadEmitter(config, hot_ref),
         batch_format="pyarrow", batch_size=config.batch_size,
-        concurrency=config.feature_concurrency, num_cpus=1,
     )

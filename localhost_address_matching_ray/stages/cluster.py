@@ -56,6 +56,18 @@ def _partitions_for(n_rows: int, cap: int | None = None) -> int:
     return max(1, min(cap or _default_partitions(), n_rows // 500 + 1))
 
 
+def _collect(ds: ray.data.Dataset, schema: pa.Schema) -> pa.Table:
+    """Driver-side collect that tolerates the schema-less empty blocks Ray's
+    shuffle can emit (an empty partition loses its columns)."""
+    tables = [
+        t for t in ray.get(ds.to_arrow_refs())
+        if t.num_rows > 0 and set(schema.names) <= set(t.column_names)
+    ]
+    if not tables:
+        return schema.empty_table()
+    return pa.concat_tables([t.select(schema.names) for t in tables])
+
+
 def _empty_clusters() -> ray.data.Dataset:
     return ray.data.from_arrow(pa.table({
         "row_id": pa.array([], pa.string()),
@@ -65,8 +77,8 @@ def _empty_clusters() -> ray.data.Dataset:
 
 def _driver_union_find(edges: ray.data.Dataset) -> ray.data.Dataset:
     """Path-compressed union-find on the collected (narrow) edge list."""
-    tbl = pa.concat_tables(
-        ray.get(edges.select_columns(["u", "v"]).to_arrow_refs())
+    tbl = _collect(
+        edges, pa.schema([("u", pa.string()), ("v", pa.string())])
     ).combine_chunks()
     u = tbl["u"].to_pylist()
     v = tbl["v"].to_pylist()
@@ -209,7 +221,10 @@ def assign_clusters(
         )
 
     if n_comp <= broadcast_max:
-        comp_tbl = pa.concat_tables(ray.get(components.to_arrow_refs()))
+        comp_tbl = _collect(
+            components,
+            pa.schema([("row_id", pa.string()), ("cluster_label", pa.string())]),
+        )
         label_of = dict(zip(
             comp_tbl["row_id"].to_pylist(), comp_tbl["cluster_label"].to_pylist()
         ))
@@ -219,9 +234,10 @@ def assign_clusters(
         def pick_members(t: pa.Table) -> pa.Table:
             return t.filter(pa.compute.is_in(t["row_id"], value_set=member_ids))
 
-        members = pa.concat_tables(ray.get(
-            slim.map_batches(pick_members, batch_format="pyarrow").to_arrow_refs()
-        ))
+        members = _collect(
+            slim.map_batches(pick_members, batch_format="pyarrow"),
+            pa.schema([("row_id", pa.string()), ("content_sha256", pa.string())]),
+        )
         canon: dict[str, str] = {}
         for rid, sha in zip(
             members["row_id"].to_pylist(), members["content_sha256"].to_pylist()

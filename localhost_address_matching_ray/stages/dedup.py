@@ -33,7 +33,7 @@ def tag_exact_groups(normalized: ray.data.Dataset, key: str = "content_sha256_no
     most groups are singletons)."""
     mins = normalized.select_columns([key, "row_id"]).groupby(key).aggregate(
         Min("row_id", alias_name="rep_row_id")
-    )
+    ).materialize()  # counted AND joined — pin so the aggregate runs once
     n = mins.count()
     num_partitions = max(1, min(16, n // 2000 + 1))
     return normalized.join(

@@ -185,17 +185,19 @@ def minhash_lsh_pairs(
     bands: int = 64,
     shingle_k: int = 3,
     threshold: float = 0.5,
-    concurrency: int = 4,
+    concurrency: int | None = None,
 ) -> ray.data.Dataset:
     """MinHash-LSH near-dup candidates, verified by signature-estimated
     Jaccard ≥ threshold. The scale path: cost is O(rows·bands) + per-bucket
     pairs, never all-pairs. bands=64/r=2 → recall ≈ 1 at J ≥ 0.5."""
     from ray.data.aggregate import Max
 
+    from localhost_address_matching_ray.config import default_pool_size
+
     band_rows = docs.select_columns(["doc_id", "lang", "text"]).map_batches(
         _DocMinHasher, fn_constructor_args=(num_perm, bands, shingle_k),
         batch_format="pyarrow", batch_size=2048,
-        concurrency=concurrency, num_cpus=1,
+        concurrency=default_pool_size(concurrency), num_cpus=1,
     )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
@@ -233,7 +235,7 @@ def minhash_lsh_pairs(
 
 
 def simhash_pairs(
-    docs: ray.data.Dataset, max_hamming: int = 6, concurrency: int = 4
+    docs: ray.data.Dataset, max_hamming: int = 6, concurrency: int | None = None
 ) -> ray.data.Dataset:
     """SimHash near-dup pairs within lang: 64-bit fingerprints, Hamming
     distance ≤ max_hamming, vectorized XOR-popcount per block."""
@@ -253,9 +255,11 @@ def simhash_pairs(
                 "simhash": pa.array(np.array(hs, dtype=np.uint64), pa.uint64()),
             })
 
+    from localhost_address_matching_ray.config import default_pool_size
+
     hashed = docs.select_columns(["doc_id", "lang", "text"]).map_batches(
         Hasher, batch_format="pyarrow", batch_size=2048,
-        concurrency=concurrency, num_cpus=1,
+        concurrency=default_pool_size(concurrency), num_cpus=1,
     )
 
     def per_lang(group: pa.Table) -> pa.Table:

@@ -12,6 +12,10 @@ Input: normalized corpus (needs ``content``, ``lang``).
 Output: drops ``content`` (wide rows must not ride the blocking shuffle) and
 adds:
   sig        binary — the MinHash signature (num_perm × uint64 bytes)
+  sig8       binary — the signature folded to 1 byte/perm (v & 0xFF). The
+             pair stage estimates Jaccard by equality counting, and folded
+             equality only inflates the estimate by ~(1−J)/256 — so the
+             blocking shuffle ships 128 B/row instead of 1 KiB/row.
   block_hashes  list<uint64> — one blocking-key hash per LSH band plus one
              for the (lang, stem) key, computed ONCE here so the blocking
              census and payload passes never recompute them. uint64 hashes
@@ -83,6 +87,7 @@ class FeatureExtractor:
 
         n = len(contents)
         sig_bytes: list[bytes] = []
+        sig8_bytes: list[bytes] = []
         block_hashes: list[np.ndarray] = []
         simhashes = np.empty(n, dtype=np.uint64)
         n_tok = np.empty(n, dtype=np.int64)
@@ -92,8 +97,9 @@ class FeatureExtractor:
             k = lc.shingle_k if lc is not None else k_default
             sh = shingle_hashes(toks, k, self.token_hasher)
             sig = self.minhasher.signature(sh)
-            sig_bytes.append(sig.tobytes())
             sigb = sig.tobytes()
+            sig_bytes.append(sigb)
+            sig8_bytes.append((sig & np.uint64(0xFF)).astype(np.uint8).tobytes())
             hashes = np.empty(bands + (1 if st else 0), dtype=np.uint64)
             for b in range(bands):
                 d = sha1(f"L|{lg}|{b}|".encode() + sigb[b * r * 8 : (b + 1) * r * 8]).digest()
@@ -109,21 +115,55 @@ class FeatureExtractor:
         return (
             out
             .append_column("sig", pa.array(sig_bytes, pa.binary()))
+            .append_column("sig8", pa.array(sig8_bytes, pa.binary()))
             .append_column("block_hashes", pa.array(block_hashes, pa.list_(pa.uint64())))
             .append_column("simhash", pa.array(simhashes, pa.uint64()))
             .append_column("n_tokens_sig", pa.array(n_tok, pa.int64()))
         )
 
 
+#: per-worker-process extractor cache for the task-based path: state is
+#: rebuilt at most once per (worker, config) — the same amortization an
+#: actor gives, without actor-pool cold-start (new processes, imports).
+_PROCESS_EXTRACTORS: dict[int, FeatureExtractor] = {}
+
+
+def _extract_batch_factory(config: PipelineConfig):
+    key = id(config)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        fx = _PROCESS_EXTRACTORS.get(key)
+        if fx is None:
+            fx = _PROCESS_EXTRACTORS[key] = FeatureExtractor(config)
+        return fx(batch)
+
+    return extract
+
+
 def extract_features(
     ds: ray.data.Dataset, config: PipelineConfig | None = None
 ) -> ray.data.Dataset:
+    """Feature extraction over Arrow batches.
+
+    Default is task-based with per-process cached state: this state
+    (MinHash permutations, compiled regexes) builds in ~1 ms, so stateless
+    tasks on already-warm workers beat an actor pool's process spin-up.
+    ``config.feature_use_actors=True`` switches to the actor-pool form —
+    the right choice when per-worker state is genuinely heavy (a model,
+    a large gazetteer), mirroring the reference's NER stage.
+    """
     config = config or PipelineConfig()
+    if config.feature_use_actors:
+        return ds.map_batches(
+            FeatureExtractor,
+            fn_constructor_args=(config,),
+            batch_format="pyarrow",
+            batch_size=config.batch_size,
+            concurrency=config.feature_concurrency,
+            num_cpus=1,
+        )
     return ds.map_batches(
-        FeatureExtractor,
-        fn_constructor_args=(config,),
+        _extract_batch_factory(config),
         batch_format="pyarrow",
         batch_size=config.batch_size,
-        concurrency=config.feature_concurrency,
-        num_cpus=1,
     )

@@ -77,15 +77,17 @@ class MediaFeatureExtractor:
 
 
 def extract_media_features(
-    media: ray.data.Dataset, concurrency: int = 2
+    media: ray.data.Dataset, concurrency: int | None = None
 ) -> ray.data.Dataset:
     """The multimodal feature pipeline: content column dropped immediately
     after feature extraction (wide rows must not ride further stages)."""
+    from localhost_address_matching_ray.config import default_pool_size
+
     return media.map_batches(
         MediaFeatureExtractor,
         batch_format="pyarrow",
         batch_size=MULTIMODAL_BATCH_SIZE,
-        concurrency=concurrency,
+        concurrency=default_pool_size(concurrency or 2),
         num_cpus=1,
     )
 

@@ -42,9 +42,13 @@ _EMPTY_EDGES = {
 
 def _score_block(
     ids: np.ndarray, sigs: np.ndarray, threshold: float, max_pairs: int,
-    us: list, vs: list, scores: list,
+    us: list, vs: list, scores: list, degree_cap: int = 8,
 ) -> None:
-    """All-pairs MinHash-estimated Jaccard for one block (vectorized)."""
+    """All-pairs MinHash-estimated Jaccard for one block (vectorized
+    comparisons); emission is degree-capped: each row keeps edges to at most
+    ``degree_cap`` of its following matches (ids sorted), which preserves
+    component connectivity in near-clique blocks while keeping the edge set
+    O(k·D) instead of O(k²)."""
     k = len(ids)
     if k * (k - 1) // 2 > max_pairs:
         keep = int((2 * max_pairs) ** 0.5) + 1
@@ -63,6 +67,8 @@ def _score_block(
         for ii in range(start, stop):
             row = sim[ii - start]
             js = np.nonzero(row[ii + 1 :] >= threshold)[0] + ii + 1
+            if len(js) > degree_cap:
+                js = js[:degree_cap]
             a = ids[ii]
             for j in js:
                 b = ids[j]
@@ -77,6 +83,7 @@ def _score_bucket_factory(config: PipelineConfig):
     threshold = config.jaccard_threshold
     max_pairs = config.max_pairs_per_block
     num_perm = config.num_perm
+    degree_cap = config.max_edges_per_row_per_block
 
     def score_bucket(group: pa.Table) -> pa.Table:
         n = group.num_rows
@@ -87,7 +94,7 @@ def _score_bucket_factory(config: PipelineConfig):
         kh = kh[order]
         ids = np.asarray(group["row_id"].to_pylist(), dtype=object)[order]
         sig_flat = np.frombuffer(
-            b"".join(group["sig"].to_pylist()), dtype=np.uint64
+            b"".join(group["sig"].to_pylist()), dtype=np.uint8
         ).reshape(n, num_perm)[order]
 
         # block boundaries: runs of equal key
@@ -101,7 +108,7 @@ def _score_bucket_factory(config: PipelineConfig):
             # dedup identical row within one block (same row via two families
             # cannot happen — families hash differently — but exact-dup sig
             # repeats are fine to score)
-            _score_block(ids[s:e], sig_flat[s:e], threshold, max_pairs, us, vs, scores)
+            _score_block(ids[s:e], sig_flat[s:e], threshold, max_pairs, us, vs, scores, degree_cap)
         return pa.table({
             "u": pa.array(us, pa.string()),
             "v": pa.array(vs, pa.string()),

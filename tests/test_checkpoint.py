@@ -67,7 +67,7 @@ def test_pipeline_resumes_from_checkpoints(tmp_path, small_fixture_tables):
     r1 = link_corpus(corpus, cfg, input_fingerprint="fixture-v1")
     c1 = sorted((r["row_id"], r["cluster_id"]) for r in r1["clusters"].take_all())
     # manifests exist for each checkpointed stage
-    for stage in ("normalized", "exact_tagged", "features", "edges", "clusters"):
+    for stage in ("normalized", "features", "edges", "clusters"):
         assert os.path.exists(tmp_path / "ckpt" / stage / "_manifest.json"), stage
     r2 = link_corpus(corpus, cfg, input_fingerprint="fixture-v1")
     c2 = sorted((r["row_id"], r["cluster_id"]) for r in r2["clusters"].take_all())

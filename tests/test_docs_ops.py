@@ -1,0 +1,105 @@
+"""Documents-table operator tests: quality features, lang-id, fingerprints,
+near-dup families (exact jaccard / MinHash-LSH / SimHash) — agreement
+between the exact baseline and the LSH scale path on the sandbox table."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_doc_quality_schema(docs):
+    from localhost_address_matching_ray.stages.docs_ops import doc_quality
+
+    out = doc_quality(docs).take(5)
+    for row in out:
+        assert row["n_tokens"] > 0
+        assert 0 <= row["stop_ratio"] <= 1
+        assert row["pred_lang"] in {"en", "de", "fr", "es", "zh"}
+
+
+def test_fingerprints_deterministic(docs):
+    from localhost_address_matching_ray.stages.docs_ops import doc_fingerprints
+
+    a = {r["doc_id"]: (r["fingerprint"], r["rolling_fp"]) for r in doc_fingerprints(docs).take_all()}
+    b = {r["doc_id"]: (r["fingerprint"], r["rolling_fp"]) for r in doc_fingerprints(docs).take_all()}
+    assert a == b and len(a) == 500
+
+
+def test_lsh_finds_exact_jaccard_pairs(docs):
+    """MinHash-LSH (bands=64, r=2) recall ≈ 1 at J ≥ 0.5: every exact
+    3-gram-Jaccard pair must be found by the LSH path."""
+    from localhost_address_matching_ray.stages.docs_ops import minhash_lsh_pairs, ngram_dup_pairs
+
+    exact = {(r["u"], r["v"]) for r in ngram_dup_pairs(docs, k=3, threshold=0.5).take_all()}
+    lsh = {(r["u"], r["v"]) for r in minhash_lsh_pairs(docs, threshold=0.5).take_all()}
+    assert exact, "fixture should contain planted near-dups"
+    missed = exact - lsh
+    assert len(missed) <= max(1, len(exact) // 10), f"LSH missed {missed}"
+
+
+def test_simhash_pairs_subset_of_same_lang(docs):
+    from localhost_address_matching_ray.stages.docs_ops import simhash_pairs
+
+    lang_of = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select_columns(["doc_id", "lang"]).take_all()
+    }
+    for r in simhash_pairs(docs, max_hamming=6).take_all():
+        assert lang_of[r["u"]] == lang_of[r["v"]]
+        assert r["hamming"] <= 6
+
+
+def test_multimodal_plumbing():
+    import pyarrow.parquet as pq
+
+    from localhost_address_matching_ray.stages.multimodal import (
+        MediaFeatureExtractor,
+        extract_media_features,
+        real_decode,
+        synthesize_media_table,
+    )
+
+    docs_tbl = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    media = synthesize_media_table(docs_tbl)
+    assert media.num_rows == 500
+    out = extract_media_features(ray.data.from_arrow(media)).take_all()
+    assert len(out) == 500
+    assert all(len(r["features"]) == 16 for r in out[:10])
+    # the real decode kernel is stubbed and says so
+    with pytest.raises(NotImplementedError):
+        real_decode(b"xx", "image")
+    # deterministic fake: same payload → same features
+    ex = MediaFeatureExtractor()
+    t = media.slice(0, 3)
+    f1 = ex(t)["features"].to_pylist()
+    f2 = ex(t)["features"].to_pylist()
+    assert f1 == f2
+
+
+def test_ann_topk_self_excluded_and_ranked():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from localhost_address_matching_ray.stages.ann import ann_topk
+
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()[:3]
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[:3]
+    out = ann_topk(emb, ids, mat, k=5).take_all()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["score"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        scores = [s for _, s in rows]
+        assert scores == sorted(scores, reverse=True)

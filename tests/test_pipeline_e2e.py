@@ -46,12 +46,30 @@ def test_cluster_partition_matches_expected(linkage_result, small_fixture_tables
 
 
 def test_exact_dedup_counts(linkage_result, small_fixture_tables):
+    from localhost_address_matching_ray.stages.dedup import exact_dedup
+
     n_all = small_fixture_tables["corpus"].num_rows
-    n_reps = linkage_result["reps"].count()
+    n_reps = exact_dedup(linkage_result["normalized"]).count()
     assert n_reps < n_all  # planted exact/whitespace dups collapse
     shas = linkage_result["normalized"].select_columns(["content_sha256_norm"])
     n_distinct = shas.groupby("content_sha256_norm").count().count()
     assert n_reps == n_distinct
+
+
+def test_collapse_exact_first_mode(small_fixture_tables):
+    """The exact-collapse pipeline shape (config flag) produces the same
+    clustering as the default no-collapse shape."""
+    import ray.data
+
+    from localhost_address_matching_ray.config import PipelineConfig
+    from localhost_address_matching_ray.pipelines.linkage import link_corpus
+
+    corpus = ray.data.from_arrow(small_fixture_tables["corpus"])
+    res = link_corpus(corpus, PipelineConfig(collapse_exact_first=True, feature_concurrency=2))
+    from localhost_address_matching_ray.pipelines.eval import pairwise_f1
+
+    rep = pairwise_f1(res["clusters"], small_fixture_tables["labeled_pairs"])
+    assert rep.f1 >= 0.99
 
 
 def test_clusters_schema_and_rows(linkage_result, small_fixture_tables):
