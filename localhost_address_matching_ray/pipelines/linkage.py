@@ -71,11 +71,12 @@ def link_corpus(
         # join; the wide column never rides any shuffle
         if ckpt is None:
             normalized = normalized.materialize()
-        if normalized.num_blocks() < max(8, cpus):
-            # parallelism floor: a single-file source yields a handful of
-            # blocks, which would serialize the feature stage (block
-            # split/merge only — not a key shuffle)
-            normalized = normalized.repartition(nblocks).materialize()
+            if normalized.num_blocks() < max(8, cpus):
+                # parallelism floor: a single-file source yields a handful of
+                # blocks, which would serialize the feature stage (block
+                # split/merge only — not a key shuffle; the checkpointed path
+                # reads many part files and needs no resplit)
+                normalized = normalized.repartition(nblocks).materialize()
         reps, exact_edges = normalized, None
         rows_view = normalized
 
@@ -124,7 +125,14 @@ def link_corpus(
         # the result is consumed more than once (count, eval, writes) — pin
         # it so the assign joins run exactly once
         clusters = clusters.materialize()
-    metrics.count("cluster", "edge_rows", near_edges.count())
+    # per-stage lineage metrics (north_rule: row counts + score histograms)
+    metrics.count("normalize", "rows", rows_view.count())
+    metrics.count("features", "rows", features.count())
+    metrics.count("edges", "rows", near_edges.count())
+    metrics.count("clusters", "rows", clusters.count())
+    metrics.dataset_hist("edges", "score", near_edges, "score")
+    if ckpt is not None:
+        metrics.write(ckpt)
 
     return {
         "normalized": rows_view,

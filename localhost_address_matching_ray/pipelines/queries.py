@@ -946,3 +946,109 @@ def multimodal_media_features(sf_dir: str) -> ray.data.Dataset:
     )
     media = ray.data.from_arrow(synthesize_media_table(docs))
     return extract_media_features(media)
+
+
+# --------------------------------------------------------------------------
+# 6. Goldset-prep analogs: regex masks, priority bucketing, splits, distincts
+# --------------------------------------------------------------------------
+
+#: first-match-wins bucket rules — the goldset priority classes A–J analog
+#: (``prepare_goldset.ipynb`` cells 1-9: regex masks → mutually-exclusive
+#: priority groups). Kept tiny so Ray and SQL express the identical rule.
+_BUCKET_RULES = [
+    ("A", "dup"),           # contains the dup marker token
+    ("B", "spark|stream"),  # streaming-ish docs
+    ("C", None),            # long docs (n_chars > 400)
+    ("D", None),            # zh/fr
+]
+
+
+@register(
+    "doc_priority_buckets",
+    """
+SELECT doc_id,
+  CASE
+    WHEN regexp_matches(text, 'dup') THEN 'A'
+    WHEN regexp_matches(text, 'spark|stream') THEN 'B'
+    WHEN n_chars > 400 THEN 'C'
+    WHEN lang IN ('zh', 'fr') THEN 'D'
+    ELSE 'E'
+  END AS bucket
+FROM documents""",
+    "M17/M18 regex predicate masks + first-match-wins priority bucketing "
+    "(prepare_goldset.ipynb cells 1-9)",
+)
+def doc_priority_buckets(sf_dir: str) -> ray.data.Dataset:
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        is_a = pc.match_substring_regex(t["text"], "dup")
+        is_b = pc.match_substring_regex(t["text"], "spark|stream")
+        is_c = pc.greater(t["n_chars"], 400)
+        is_d = pc.is_in(t["lang"], value_set=pa.array(["zh", "fr"]))
+        bucket = pc.if_else(
+            is_a, "A",
+            pc.if_else(is_b, "B", pc.if_else(is_c, "C", pc.if_else(is_d, "D", "E"))),
+        )
+        return pa.table({"doc_id": t["doc_id"], "bucket": bucket})
+
+    return docs.map_batches(bucketize, batch_format="pyarrow", batch_size=4096)
+
+
+@register(
+    "event_types_distinct",
+    "SELECT DISTINCT event_type FROM events",
+    "G5 global distinct (label-set build analog, training nb cell 7)",
+)
+def event_types_distinct(sf_dir: str) -> ray.data.Dataset:
+    ev = read_table(sf_dir, "events", columns=["event_type"])
+    return ev.groupby("event_type").aggregate(Count(alias_name="_n")).select_columns(
+        ["event_type"]
+    )
+
+
+@register(
+    "doc_train_val_split",
+    """
+SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+       count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents GROUP BY 1""",
+    "O5 deterministic train/val split (hash-stable, not positional — the "
+    "scale-safe analog of the seeded shuffle+slice in training nb cell 11)",
+)
+def doc_train_val_split(sf_dir: str) -> ray.data.Dataset:
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        split = np.where(ids % 10 < 8, "train", "val")
+        return pa.table({"split": pa.array(split, pa.string()), "doc_id": t["doc_id"]})
+
+    return docs.map_batches(tag, batch_format="pyarrow").groupby("split").aggregate(
+        Count(alias_name="n"),
+        Min("doc_id", alias_name="min_id"),
+        Max("doc_id", alias_name="max_id"),
+    )
+
+
+@register(
+    "corpus_repo_stats",
+    _NORM_CTE + """
+SELECT repo, count(*) AS n_files, count(DISTINCT lang) AS n_langs,
+       sum(n_tokens) AS total_tokens
+FROM norm GROUP BY repo""",
+    "per-repo rollup via two-level pre-aggregation (partial combine inside "
+    "map_batches semantics: groupby(repo,lang) → groupby(repo))",
+)
+def corpus_repo_stats(sf_dir: str) -> ray.data.Dataset:
+    ds = _normalized_corpus(sf_dir).select_columns(["repo", "lang", "n_tokens"])
+    # level 1: (repo, lang) partials — shrinks the data before the wide rollup
+    partial = ds.groupby(["repo", "lang"]).aggregate(
+        Count(alias_name="n_files"), Sum("n_tokens", alias_name="total_tokens")
+    )
+    # level 2: per-repo rollup; distinct langs = rows per repo in the partial
+    return partial.groupby("repo").aggregate(
+        Sum("n_files", alias_name="n_files"),
+        Count(alias_name="n_langs"),
+        Sum("total_tokens", alias_name="total_tokens"),
+    ).select_columns(["repo", "n_files", "n_langs", "total_tokens"])

@@ -25,14 +25,17 @@ Skew handling is two-pass:
 1. key-only flatten → bucketed count → per-key sizes; hot keys
    (``n > max_block_rows``) are collected to the driver (few by definition —
    bounded by corpus_size / max_block_rows) and broadcast via ``ray.put``.
-2. the payload pass salts hot keys into ``mix(key, bucket)`` sub-keys
-   (deterministic ``row_id``-hash bucket) and additionally re-emits a
-   deterministic ~``4·salt_buckets``-row sample of each hot key under a
-   ``mix(key, REP)`` bridge key, so sub-clusters of a truly-hot key are
-   linked transitively through the representatives. PARTITIONING ASSUMPTION:
-   a hot band-block is a near-clique (same MinHash band ⇒ near-identical
-   content), so rep-bridging preserves connectivity; direct cross-sub-block
-   pairs are intentionally traded away and the trade is logged in metrics.
+2. the payload pass salts hot keys into ``mix(key, bucket)`` sub-keys with
+   RING OVERLAP: every row of a hot key is emitted to its own sub-block AND
+   to the next one (``bucket+1 mod n_sub``), so consecutive sub-blocks share
+   half their rows and the whole hot key stays transitively connected — a
+   deterministic bridge with bounded (2×) emission, no sampling math that
+   could degenerate at extreme sizes. The sub-block count scales with the
+   key's size so sub-blocks stay ~max_block_rows regardless of how hot the
+   key is. PARTITIONING ASSUMPTION: a hot band-block is a near-clique (same
+   MinHash band ⇒ near-identical content), so ring connectivity preserves
+   the cluster; direct far-apart cross-sub-block pairs are intentionally
+   traded away and the trade is logged in metrics.
 """
 
 from __future__ import annotations
@@ -47,7 +50,6 @@ import ray.data
 from localhost_address_matching_ray.config import PipelineConfig
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
-_REP_SALT = np.uint64(0xFFFFFFFF)
 
 
 def _salted(kh: np.uint64 | int, salt: int) -> int:
@@ -137,12 +139,12 @@ class _PayloadEmitter:
                 # sub-block count scales with the key's size so sub-blocks
                 # stay ~max_block_rows/2 even for pathologically hot keys
                 n_sub = max(cfg.salt_buckets, -(-size // (cfg.max_block_rows // 2)))
-                out_key.append(_salted(ki, _stable_bucket(rid, n_sub)))
+                b = _stable_bucket(rid, n_sub)
+                out_key.append(_salted(ki, b))
                 out_i.append(i)
-                rep_stride = max(1, size // (4 * n_sub))
-                if _stable_bucket("rep:" + rid, rep_stride) == 0:
-                    out_key.append(_salted(ki, int(_REP_SALT)))
-                    out_i.append(i)
+                # ring overlap: also join the next sub-block (bridge)
+                out_key.append(_salted(ki, (b + 1) % n_sub))
+                out_i.append(i)
         else:
             out_key = kh.tolist()
             out_i = idx.tolist()

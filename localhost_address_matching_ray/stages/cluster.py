@@ -166,6 +166,23 @@ def _distributed_label_prop(
             batch_format="pyarrow",
         ).sum("c") or 0)
         labels = agg.select_columns(["node", "label"])
+        # pointer jumping: label(node) ← label(label(node)) — contracts label
+        # chains geometrically, so convergence is O(log diameter) rounds
+        # instead of O(diameter) (the star-contraction shortcut)
+        lab_as_parent = labels.map_batches(
+            lambda t: pa.table({"pnode": t["node"], "plabel": t["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = labels.join(
+            lab_as_parent, join_type="left_outer", num_partitions=num_partitions,
+            on=("label",), right_on=("pnode",), **_JOIN_ARGS,
+        ).map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "label": pa.compute.coalesce(t["plabel"], t["label"]),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
         logger.info("connected_components iter %d: %d labels changed", it, changed)
         if changed == 0:
             break

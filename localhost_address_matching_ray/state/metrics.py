@@ -14,6 +14,36 @@ import json
 import os
 
 import numpy as np
+import pyarrow as pa
+
+
+def dataset_histogram(
+    ds, col: str, bins: int = 20, lo: float = 0.0, hi: float = 1.0
+) -> tuple[list[float], list[int]]:
+    """Distributed fixed-bin histogram: per-batch ``np.histogram`` partials
+    (one tiny (bin, count) table per batch) merged by a small groupby-sum —
+    the partial-aggregate pattern; never collects the column."""
+    from ray.data.aggregate import Sum
+
+    edges = np.linspace(lo, hi, bins + 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts, _ = np.histogram(
+            t[col].to_numpy(zero_copy_only=False), bins=edges
+        )
+        nz = np.nonzero(counts)[0]
+        return pa.table({
+            "bin": pa.array(nz.astype(np.int32), pa.int32()),
+            "n": pa.array(counts[nz].astype(np.int64), pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("bin").aggregate(
+        Sum("n", alias_name="n")
+    )
+    out = np.zeros(bins, dtype=np.int64)
+    for r in agg.take_all():
+        out[r["bin"]] = r["n"]
+    return [float(e) for e in edges], [int(c) for c in out]
 
 
 class StageMetrics:
@@ -36,6 +66,14 @@ class StageMetrics:
             "value": float(len(values)),
             "bins": [float(e) for e in edges],
             "counts": [int(c) for c in counts],
+        })
+
+    def dataset_hist(self, stage: str, name: str, ds, col: str,
+                     bins: int = 20, lo: float = 0.0, hi: float = 1.0) -> None:
+        edges, counts = dataset_histogram(ds, col, bins, lo, hi)
+        self._rows.append({
+            "stage": stage, "metric": f"{name}_hist",
+            "value": float(sum(counts)), "bins": edges, "counts": counts,
         })
 
     def to_list(self) -> list[dict]:
