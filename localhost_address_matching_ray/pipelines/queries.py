@@ -1052,3 +1052,12 @@ def corpus_repo_stats(sf_dir: str) -> ray.data.Dataset:
         Count(alias_name="n_langs"),
         Sum("total_tokens", alias_name="total_tokens"),
     ).select_columns(["repo", "n_files", "n_langs", "total_tokens"])
+
+
+@register("embedding_lsh_pairs", None,
+          "LSH-bucketed cosine near-dup pairs (scale path for embedding_dup_pairs; rows-only)")
+def embedding_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.ann import lsh_cosine_pairs
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return lsh_cosine_pairs(emb, threshold=0.45, n_planes=4, n_tables=16)

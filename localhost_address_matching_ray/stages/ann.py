@@ -137,3 +137,86 @@ def cosine_pairs(
     return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
         score, batch_format="pyarrow", batch_size=2048
     )
+
+
+class _HyperplaneBucketer:
+    """Actor: random-hyperplane LSH bucket keys for cosine similarity.
+
+    ``n_planes`` sign bits per table × ``n_tables`` tables (fixed-seed
+    hyperplanes, identical on every worker). Two vectors with cosine ≥ t
+    share a bucket in at least one table with probability
+    1 − (1 − (1 − θ/π)^n_planes)^n_tables.
+    """
+
+    def __init__(self, dim: int, n_planes: int = 12, n_tables: int = 8, seed: int = 97) -> None:
+        rng = np.random.RandomState(seed)
+        self.planes = rng.randn(n_tables, n_planes, dim)
+        self.n_tables = n_tables
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        # vectors ride the shuffle as float32 bytes (pyarrow joins reject
+        # list-typed payloads; binary also halves the bytes)
+        vec_bytes = [m[i].astype(np.float32).tobytes() for i in range(len(ids))]
+        out_ids, out_keys, out_vecs = [], [], []
+        for t in range(self.n_tables):
+            signs = (m @ self.planes[t].T) > 0  # (n, n_planes)
+            keys = np.packbits(signs, axis=1)
+            for i, kb in enumerate(keys):
+                out_ids.append(int(ids[i]))
+                out_keys.append(f"{t}:{kb.tobytes().hex()}")
+                out_vecs.append(vec_bytes[i])
+        return pa.table({
+            "vec_id": pa.array(out_ids, pa.int64()),
+            "bucket_key": pa.array(out_keys, pa.string()),
+            "vec": pa.array(out_vecs, pa.binary()),
+        })
+
+
+def lsh_cosine_pairs(
+    embeddings: ray.data.Dataset,
+    threshold: float,
+    n_planes: int = 12,
+    n_tables: int = 8,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """LSH-bucketed cosine near-dup pairs — the scale path for
+    :func:`cosine_pairs`: cost is O(rows·tables) + per-bucket pairwise,
+    never all-pairs. Candidates are verified with the exact (rounded)
+    cosine, so precision is exact and recall is the LSH union bound."""
+    from localhost_address_matching_ray.config import default_pool_size
+    from ray.data.aggregate import Max
+
+    sample = embeddings.take(1)
+    dim = len(sample[0]["embedding"])
+    buckets = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        _HyperplaneBucketer, fn_constructor_args=(dim, n_planes, n_tables),
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=default_pool_size(concurrency), num_cpus=1,
+    )
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        k = group.num_rows
+        empty = pa.table({
+            "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        })
+        if k < 2:
+            return empty
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        m = np.frombuffer(b"".join(group["vec"].to_pylist()), dtype=np.float32)
+        m = m.reshape(k, dim).astype(np.float64)
+        sims = _cosine_matrix(m, m)
+        iu = np.triu_indices(k, 1)
+        mask = (sims[iu] >= threshold) & (ids[iu[0]] != ids[iu[1]])
+        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({
+            "u": pa.array(lo, pa.int64()),
+            "v": pa.array(hi, pa.int64()),
+            "score": pa.array(sims[iu][mask], pa.float64()),
+        })
+
+    raw = buckets.groupby("bucket_key").map_groups(verify_bucket, batch_format="pyarrow")
+    return raw.groupby(["u", "v"]).aggregate(Max("score", alias_name="score"))
