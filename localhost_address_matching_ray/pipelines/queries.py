@@ -1061,3 +1061,69 @@ def embedding_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return lsh_cosine_pairs(emb, threshold=0.45, n_planes=4, n_tables=16)
+
+
+@register(
+    "corpus_parse_paths",
+    _NORM_CTE + r"""
+SELECT row_id,
+  regexp_extract(path_canonical, '^([^/]+)', 1) AS top_dir,
+  regexp_extract(path_canonical, '([^/]+)$', 1) AS filename,
+  stem,
+  CASE WHEN regexp_matches(regexp_extract(path_canonical, '([^/]+)$', 1), '\.')
+       THEN regexp_extract(path_canonical, '\.([^./]*)$', 1) ELSE '' END AS ext
+FROM norm""",
+    "the static-parser analog (static_parser.py:55-97): parse the free-text "
+    "key into the fixed nullable struct of canonical fields — Address("
+    "province, district, neighbourhood) ↔ PathParts(top_dir, filename, stem, ext)",
+)
+def corpus_parse_paths(sf_dir: str) -> ray.data.Dataset:
+    import re
+
+    ds = _normalized_corpus(sf_dir).select_columns(["row_id", "path_canonical", "stem"])
+    ext_re = re.compile(r"\.([^./]*)$")
+
+    def parse(t: pa.Table) -> pa.Table:
+        paths = t["path_canonical"].to_pylist()
+        top, fname, ext = [], [], []
+        for p in paths:
+            top.append(p.split("/", 1)[0])
+            name = p.rsplit("/", 1)[-1]
+            fname.append(name)
+            m = ext_re.search(name)
+            ext.append(m.group(1) if m else "")
+        return pa.table({
+            "row_id": t["row_id"],
+            "top_dir": pa.array(top, pa.string()),
+            "filename": pa.array(fname, pa.string()),
+            "stem": t["stem"],
+            "ext": pa.array(ext, pa.string()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow", batch_size=4096)
+
+
+@register("doc_token_spans", None,
+          "M12 analog: whitespace tokens with char offsets as a native Arrow "
+          "list<struct<tok,start,end>> column (nested types stay in pyarrow "
+          "batch format — no JSON strings; rows-only check: nested output)")
+def doc_token_spans(sf_dir: str) -> ray.data.Dataset:
+    import re
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    tok_re = re.compile(r"\S+")
+    span_t = pa.struct([("tok", pa.string()), ("start", pa.int32()), ("end", pa.int32())])
+
+    def spans(t: pa.Table) -> pa.Table:
+        out = []
+        for text in t["text"].to_pylist():
+            out.append([
+                {"tok": m.group(0), "start": m.start(), "end": m.end()}
+                for m in tok_re.finditer(text)
+            ])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "spans": pa.array(out, pa.list_(span_t)),
+        })
+
+    return docs.map_batches(spans, batch_format="pyarrow", batch_size=4096)
