@@ -1127,3 +1127,38 @@ def doc_token_spans(sf_dir: str) -> ray.data.Dataset:
         })
 
     return docs.map_batches(spans, batch_format="pyarrow", batch_size=4096)
+
+
+@register(
+    "events_sliding_windows",
+    """
+WITH w AS (
+  SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES, value FROM events
+)
+SELECT window_start, count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM w GROUP BY window_start""",
+    "sliding windows (1h length, 30min slide): each event feeds two window "
+    "starts — flat_map-style explode then groupby (§2.9 streaming analog)",
+)
+def events_sliding_windows(sf_dir: str) -> ray.data.Dataset:
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        w1 = pc.floor_temporal(t["ts"], multiple=30, unit="minute")
+        w0 = pc.subtract(w1, pa.scalar(1_800_000_000, pa.duration("us")))
+        return pa.table({
+            "window_start": pa.concat_arrays(
+                [w1.combine_chunks(), w0.combine_chunks().cast(pa.timestamp("us"))]
+            ),
+            "value": pa.concat_arrays(
+                [t["value"].combine_chunks(), t["value"].combine_chunks()]
+            ),
+        })
+
+    return ev.map_batches(explode, batch_format="pyarrow").groupby(
+        "window_start"
+    ).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="total_value")
+    ).map_batches(lambda t: _round_col(t, "total_value", 6), batch_format="pyarrow")

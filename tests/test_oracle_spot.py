@@ -1,0 +1,63 @@
+"""Spot-check the driver's correctness gate inside pytest: a fast subset of
+the query registry runs against its DuckDB oracle at sf0.001 (the full gate
+is `scripts/check_oracles.py`)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+SPOT_QUERIES = [
+    "corpus_normalize",
+    "corpus_exact_dedup",
+    "corpus_parse_paths",
+    "doc_stats",
+    "doc_langid",
+    "q1_pricing_summary",
+    "events_user_sessions",
+    "events_sliding_windows",
+    "ann_topk",
+    "doc_train_val_split",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", SPOT_QUERIES)
+def test_query_matches_oracle(name, con):
+    from localhost_address_matching_ray.pipelines.queries import REGISTRY
+
+    qd = REGISTRY[name]
+    assert qd.sql is not None
+    mine = _canon(qd.fn(SF_DIR).to_pandas())
+    oracle = _canon(con.execute(qd.sql).df())
+    assert list(mine.columns) == list(oracle.columns)
+    assert len(mine) == len(oracle)
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False, check_exact=True)
+
+
+def test_registry_contract():
+    """Every oracled query has matching names in queries()/oracle_sql() and
+    the driver entry module exposes the full registry."""
+    import __ray_entry__ as entry
+
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 35 and len(o) >= 30
