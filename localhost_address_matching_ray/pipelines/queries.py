@@ -1162,3 +1162,27 @@ def events_sliding_windows(sf_dir: str) -> ray.data.Dataset:
     ).aggregate(
         Count(alias_name="n_events"), Sum("value", alias_name="total_value")
     ).map_batches(lambda t: _round_col(t, "total_value", 6), batch_format="pyarrow")
+
+
+@register(
+    "doc_quality_filter",
+    f"""
+WITH n AS (SELECT doc_id, {_DOCNORM} AS norm FROM documents),
+t AS (SELECT doc_id,
+        CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks
+      FROM n)
+SELECT doc_id FROM t
+WHERE len(toks) >= 5 AND len(toks) <= 100000
+  AND (CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE / len(toks) END) <= 0.6""",
+    "quality filter: the keep/drop decision applied as a dataset filter "
+    "(the training-data pipeline's document gate)",
+)
+def doc_quality_filter(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.docs_ops import doc_quality
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = doc_quality(docs)
+    return scored.map_batches(
+        lambda t: t.filter(t["keep"].combine_chunks()), batch_format="pyarrow"
+    ).select_columns(["doc_id"])

@@ -161,7 +161,9 @@ class _DocMinHasher:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, langs, keys = [], [], []
+        import hashlib
+
+        ids, keys = [], []
         sigs = []
         for did, lg, t in zip(
             batch["doc_id"].to_pylist(), batch["lang"].to_pylist(),
@@ -170,11 +172,17 @@ class _DocMinHasher:
             toks = normalize_content(t).split(" ")
             sig = self.mh.signature(shingle_hashes(toks, self.k, self.th))
             for bk in self.mh.band_keys(sig, self.bands):
-                ids.append(did); langs.append(lg); keys.append(f"{lg}|{bk}")
+                ids.append(did)
+                # uint64 band-key hash: integer shuffles beat string sorts
+                keys.append(int.from_bytes(
+                    hashlib.sha1(f"{lg}|{bk}".encode()).digest()[:8], "big"
+                ))
                 sigs.append(sig.tobytes())
+        kh = np.array(keys, dtype=np.uint64)
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
-            "band_key": pa.array(keys, pa.string()),
+            "band_key": pa.array(kh, pa.uint64()),
+            "bucket": pa.array((kh % np.uint64(64)).astype(np.int32), pa.int32()),
             "sig": pa.array(sigs, pa.binary()),
         })
 
@@ -201,6 +209,10 @@ def minhash_lsh_pairs(
     )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
+        """One 64-way bucket: whole band-blocks colocate here (bucket =
+        band_key % 64); per-block work is found by numpy run boundaries —
+        no per-band-key Python group calls (the high-cardinality-groupby
+        floor lesson from the flagship pair stage)."""
         n = group.num_rows
         empty = pa.table({
             "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
@@ -208,29 +220,37 @@ def minhash_lsh_pairs(
         })
         if n < 2:
             return empty
-        ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids)
-        ids = ids[order]
-        sigs = np.frombuffer(
+        kh = group["band_key"].to_numpy(zero_copy_only=False)
+        ids_all = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids_all, kh))
+        kh = kh[order]; ids_all = ids_all[order]
+        sig_all = np.frombuffer(
             b"".join(group["sig"].take(pa.array(order)).to_pylist()), dtype=np.uint64
         ).reshape(n, num_perm)
+        bounds = np.flatnonzero(np.diff(kh)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n]))
         us, vs, sc = [], [], []
-        for i in range(n - 1):
-            if ids[i] == ids[i + 1]:
+        for s0, e0 in zip(starts, ends):
+            if e0 - s0 < 2:
                 continue
-            est = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            hits = np.nonzero(est >= threshold)[0]
-            for h in hits:
-                if ids[i] != ids[i + 1 + h]:
-                    us.append(int(ids[i])); vs.append(int(ids[i + 1 + h]))
-                    sc.append(float(est[h]))
+            ids = ids_all[s0:e0]; sigs = sig_all[s0:e0]
+            for i in range(len(ids) - 1):
+                if ids[i] == ids[i + 1]:
+                    continue
+                est = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+                hits = np.nonzero(est >= threshold)[0]
+                for h in hits:
+                    if ids[i] != ids[i + 1 + h]:
+                        us.append(int(ids[i])); vs.append(int(ids[i + 1 + h]))
+                        sc.append(float(est[h]))
         return pa.table({
             "u": pa.array(us, pa.int64()),
             "v": pa.array(vs, pa.int64()),
             "est_jaccard": pa.array(sc, pa.float64()),
         })
 
-    raw = band_rows.groupby("band_key").map_groups(bucket_pairs, batch_format="pyarrow")
+    raw = band_rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
     return raw.groupby(["u", "v"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
 
 
