@@ -78,6 +78,9 @@ class PipelineConfig:
 
     # --- scale-adaptive machinery ---
     census_buckets: int = 64          # low-cardinality bucket groupby width
+    census_sample_div: int = 4        # census samples 1/div of rows (it only
+                                      # feeds hot-key detection: a >max_block
+                                      # key still shows up at ~size/div)
     driver_cc_max_edges: int = 5_000_000   # ≤ → driver union-find fast path
     broadcast_components_max: int = 2_000_000  # ≤ → broadcast cluster map
 

@@ -71,27 +71,49 @@ def _flat_hashes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return idx, kh
 
 
-def block_size_census(features: ray.data.Dataset, config: PipelineConfig) -> ray.data.Dataset:
+def block_size_census(
+    features: ray.data.Dataset, config: PipelineConfig, sample_div: int | None = None
+) -> ray.data.Dataset:
     """``(kh, n)`` per blocking key — G2's hot-key-detection analog.
-    Key-only flatten + bucketed count (vectorized np.unique per bucket)."""
+    Key-only flatten + per-batch partial counts + bucketed merge.
+
+    The census only feeds hot-key detection, so it row-samples 1/sample_div
+    of the corpus (deterministic row_id hash): a key above ``max_block_rows``
+    still surfaces at ~size/div with overwhelming probability, and the
+    shuffle shrinks by the same factor. ``n`` in the output is the
+    scaled-back estimate. Pass ``sample_div=1`` for exact counts."""
     buckets = config.census_buckets
+    div = sample_div if sample_div is not None else config.census_sample_div
 
     def flatten(batch: pa.Table) -> pa.Table:
+        if div > 1:
+            rid_sel = np.array([
+                _stable_bucket(r, div) == 0 for r in batch["row_id"].to_pylist()
+            ])
+            batch = batch.filter(pa.array(rid_sel))
         _, kh = _flat_hashes(batch)
-        return pa.table({
-            "kh": pa.array(kh, pa.uint64()),
-            "bucket": pa.array((kh % np.uint64(buckets)).astype(np.int32), pa.int32()),
-        })
-
-    def count_bucket(group: pa.Table) -> pa.Table:
-        kh = group["kh"].to_numpy(zero_copy_only=False)
+        # per-batch partial counts shrink the shuffle before it happens
         uniq, counts = np.unique(kh, return_counts=True)
         return pa.table({
             "kh": pa.array(uniq, pa.uint64()),
             "n": pa.array(counts.astype(np.int64), pa.int64()),
+            "bucket": pa.array((uniq % np.uint64(buckets)).astype(np.int32), pa.int32()),
         })
 
-    keys = features.select_columns(["block_hashes"]).map_batches(
+    def count_bucket(group: pa.Table) -> pa.Table:
+        kh = group["kh"].to_numpy(zero_copy_only=False)
+        ns = group["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(kh, kind="stable")
+        kh, ns = kh[order], ns[order]
+        bounds = np.flatnonzero(np.diff(kh)) + 1
+        starts = np.concatenate(([0], bounds))
+        totals = np.add.reduceat(ns, starts)
+        return pa.table({
+            "kh": pa.array(kh[starts], pa.uint64()),
+            "n": pa.array(totals * div, pa.int64()),
+        })
+
+    keys = features.select_columns(["row_id", "block_hashes"]).map_batches(
         flatten, batch_format="pyarrow", batch_size=config.batch_size
     )
     return keys.groupby("bucket").map_groups(count_bucket, batch_format="pyarrow")

@@ -35,6 +35,9 @@ from ray.data.aggregate import Max, Min
 
 logger = logging.getLogger(__name__)
 
+#: per-worker-process cache of broadcast cluster maps (keyed by object ref)
+_PROCESS_MAPS: dict = {}
+
 #: Join aggregator actors must not starve the pool: fractional CPUs, and the
 #: partition count stays well under the session's CPU count.
 _JOIN_ARGS = {"aggregator_ray_remote_args": {"num_cpus": 0.25}}
@@ -245,11 +248,17 @@ def assign_clusters(
         label_of = dict(zip(
             comp_tbl["row_id"].to_pylist(), comp_tbl["cluster_label"].to_pylist()
         ))
-        # canonical sha per cluster label, computed from member rows only
-        member_ids = pa.array(sorted(label_of), pa.string())
+        # canonical sha per cluster label, computed from member rows only.
+        # membership test via a broadcast dict cached per worker process —
+        # pc.is_in would rebuild a ~|components| hash set on every batch.
+        label_ref = ray.put(label_of)
 
         def pick_members(t: pa.Table) -> pa.Table:
-            return t.filter(pa.compute.is_in(t["row_id"], value_set=member_ids))
+            lmap = _PROCESS_MAPS.get(label_ref.hex())
+            if lmap is None:
+                lmap = _PROCESS_MAPS[label_ref.hex()] = ray.get(label_ref)
+            mask = pa.array([r in lmap for r in t["row_id"].to_pylist()])
+            return t.filter(mask)
 
         members = _collect(
             slim.map_batches(pick_members, batch_format="pyarrow"),
@@ -263,15 +272,21 @@ def assign_clusters(
             prev = canon.get(lab)
             if prev is None or sha < prev:
                 canon[lab] = sha
-        maps_ref = ray.put((label_of, canon))
+        # resolve the two maps into ONE row_id→cluster_id dict up front, and
+        # cache its deserialized form per worker process: ray.get of a large
+        # dict costs a full unpickle per call, which at one call per batch
+        # dominated the stage (observed 40 s at 1.5M rows)
+        resolved = {rid: canon[lab] for rid, lab in label_of.items()}
+        maps_ref = ray.put(resolved)
 
         def resolve(t: pa.Table) -> pa.Table:
-            lmap, cmap = ray.get(maps_ref)
+            cache = _PROCESS_MAPS
+            cmap = cache.get(maps_ref.hex())
+            if cmap is None:
+                cmap = cache[maps_ref.hex()] = ray.get(maps_ref)
             rids = t["row_id"].to_pylist()
             shas = t["content_sha256"].to_pylist()
-            out = [
-                cmap[lmap[r]] if r in lmap else s for r, s in zip(rids, shas)
-            ]
+            out = [cmap.get(r, s) for r, s in zip(rids, shas)]
             return pa.table({
                 "row_id": t["row_id"],
                 "cluster_id": pa.array(out, pa.string()),

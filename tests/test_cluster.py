@@ -114,11 +114,16 @@ def test_blocking_census_and_salting():
         "sig8": pa.array([bytes([i % 256]) * 128 for i in range(n)], pa.binary()),
         "block_hashes": pa.array(hashes, pa.list_(pa.uint64())),
     }))
-    sizes = {r["kh"]: r["n"] for r in block_size_census(feats, cfg).take_all()}
+    # exact census (sample_div=1): counts match the python reference
+    sizes = {r["kh"]: r["n"] for r in block_size_census(feats, cfg, sample_div=1).take_all()}
     assert sizes[7777] == n
     assert all(v == 1 for k, v in sizes.items() if k != 7777)
 
-    hot = find_hot_keys(block_size_census(feats, cfg), cfg)
+    # sampled census (default): the hot key still surfaces, scaled estimate
+    est = {r["kh"]: r["n"] for r in block_size_census(feats, cfg).take_all()}
+    assert est.get(7777, 0) > cfg.max_block_rows
+
+    hot = find_hot_keys(block_size_census(feats, cfg, sample_div=1), cfg)
     assert hot == {7777: n}
 
     rows = emit_block_rows(feats, cfg, hot).take_all()
