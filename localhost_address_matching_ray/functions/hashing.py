@@ -64,20 +64,28 @@ class TokenHasher:
 
 
 def shingle_hashes(tokens: list[str], k: int, hasher: TokenHasher) -> np.ndarray:
-    """Distinct k-token-shingle hashes (uint64). Shingles are hashed by
-    combining token hashes with fixed odd multipliers — deterministic and
-    allocation-light (no string joins)."""
+    """k-token-shingle hashes (uint64), possibly with duplicates — MinHash is
+    duplicate-invariant (the min over a multiset equals the min over its
+    set), so deduplication is skipped. Shingles are hashed by combining
+    token hashes with fixed odd multipliers — no string joins."""
     n = len(tokens)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     th = hasher.hash_tokens(tokens)
+    return shingle_hashes_from(th, k)
+
+
+def shingle_hashes_from(th: np.ndarray, k: int) -> np.ndarray:
+    """Shingle hashes from a precomputed token-hash array."""
+    n = len(th)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
     if n < k:
-        # short doc: one shingle over all tokens
         k = n
     acc = th[: n - k + 1].copy()
     for j in range(1, k):
         acc = acc * np.uint64(0x9E3779B97F4A7C15) + th[j : n - k + 1 + j]
-    return np.unique(acc)
+    return acc
 
 
 class MinHasher:
@@ -134,6 +142,30 @@ class SimHasher:
         bits = ((th[:, None] & self._bitcols[None, :]) != 0).astype(np.int32)
         votes = bits.sum(axis=0) * 2 - len(tokens)
         return int((self._bitcols[votes > 0]).sum())
+
+    def simhash_batch(self, flat_hashes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        """Vectorized simhash over many docs: ``flat_hashes`` is the
+        concatenation of the docs' token-hash arrays, ``lengths`` the doc
+        sizes. One 64-column reduceat pass replaces the per-doc matrices;
+        bit-identical to :meth:`simhash`."""
+        n_docs = len(lengths)
+        out = np.zeros(n_docs, dtype=np.uint64)
+        nz = lengths > 0
+        if not nz.any():
+            return out
+        lens_nz = lengths[nz]
+        starts = np.concatenate(([0], np.cumsum(lens_nz)[:-1]))
+        votes = np.empty((len(lens_nz), 64), dtype=np.int64)
+        for j in range(64):
+            col = ((flat_hashes >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+            votes[:, j] = np.add.reduceat(col, starts)
+        votes = votes * 2 - lens_nz[:, None]
+        h = (
+            (votes > 0).astype(np.uint64)
+            << np.arange(64, dtype=np.uint64)[None, :]
+        ).sum(axis=1, dtype=np.uint64)
+        out[nz] = h
+        return out
 
 
 def hamming64(a: int, b: int) -> int:

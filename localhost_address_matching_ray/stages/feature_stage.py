@@ -36,7 +36,12 @@ import pyarrow as pa
 import ray.data
 
 from localhost_address_matching_ray.config import PipelineConfig
-from localhost_address_matching_ray.functions.hashing import MinHasher, SimHasher, TokenHasher, shingle_hashes
+from localhost_address_matching_ray.functions.hashing import (
+    MinHasher,
+    SimHasher,
+    TokenHasher,
+    shingle_hashes_from,
+)
 from localhost_address_matching_ray.functions.normalize import (
     normalize_content,
     strip_comments,
@@ -89,14 +94,15 @@ class FeatureExtractor:
         sig_bytes: list[bytes] = []
         sig8_bytes: list[bytes] = []
         block_hashes: list[np.ndarray] = []
-        simhashes = np.empty(n, dtype=np.uint64)
+        th_list: list[np.ndarray] = []
         n_tok = np.empty(n, dtype=np.int64)
         for i, (c, lg, st) in enumerate(zip(contents, langs, stems)):
             toks = self._doc_tokens(c, lg)
             lc = self.lang_configs.get(lg)
             k = lc.shingle_k if lc is not None else k_default
-            sh = shingle_hashes(toks, k, self.token_hasher)
-            sig = self.minhasher.signature(sh)
+            th = self.token_hasher.hash_tokens(toks)
+            th_list.append(th)
+            sig = self.minhasher.signature(shingle_hashes_from(th, k))
             sigb = sig.tobytes()
             sig_bytes.append(sigb)
             sig8_bytes.append((sig & np.uint64(0xFF)).astype(np.uint8).tobytes())
@@ -108,8 +114,12 @@ class FeatureExtractor:
                 d = sha1(f"S|{lg}|{st}".encode()).digest()
                 hashes[bands] = int.from_bytes(d[:8], "big")
             block_hashes.append(hashes)
-            simhashes[i] = self.simhasher.simhash(toks)
             n_tok[i] = len(toks)
+        # simhash for the whole batch in one vectorized reduceat pass
+        simhashes = self.simhasher.simhash_batch(
+            np.concatenate(th_list) if th_list else np.empty(0, np.uint64),
+            n_tok,
+        )
 
         out = batch.select([c for c in KEEP_COLUMNS if c in batch.column_names])
         return (
