@@ -1,0 +1,71 @@
+"""Eval-harness and metrics-sidecar unit tests."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from localhost_address_matching_ray.pipelines.eval import PairwiseReport, pairwise_f1
+from localhost_address_matching_ray.state.metrics import StageMetrics, dataset_histogram
+
+
+def _clusters(mapping: dict[str, str]) -> ray.data.Dataset:
+    return ray.data.from_arrow(pa.table({
+        "row_id": pa.array(list(mapping), pa.string()),
+        "cluster_id": pa.array(list(mapping.values()), pa.string()),
+    }))
+
+
+def _pairs(rows):
+    return pa.table({
+        "left_id": pa.array([r[0] for r in rows], pa.string()),
+        "right_id": pa.array([r[1] for r in rows], pa.string()),
+        "block_key": pa.array(["k"] * len(rows), pa.string()),
+        "is_match": pa.array([r[2] for r in rows], pa.bool_()),
+        "pair_class": pa.array([r[3] for r in rows], pa.string()),
+    })
+
+
+def test_pairwise_f1_counts():
+    clusters = _clusters({"a": "c1", "b": "c1", "c": "c2", "d": "c3"})
+    report = pairwise_f1(clusters, _pairs([
+        ("a", "b", True, "exact"),         # TP
+        ("a", "c", True, "minor_edit"),    # FN (predicted apart)
+        ("c", "d", False, "hard_negative"),  # TN
+        ("a", "d", False, "random"),       # TN
+    ]))
+    assert (report.tp, report.fp, report.fn, report.tn) == (1, 0, 1, 2)
+    assert report.precision == 1.0 and report.recall == 0.5
+    assert report.per_class["exact"]["tp"] == 1
+    assert report.per_class["minor_edit"]["fn"] == 1
+
+
+def test_pairwise_f1_fp_case():
+    clusters = _clusters({"a": "c1", "b": "c1"})
+    report = pairwise_f1(clusters, _pairs([("a", "b", False, "hard_negative")]))
+    assert report.fp == 1 and report.precision == 0.0
+
+
+def test_perfect_report_properties():
+    r = PairwiseReport(tp=10, fp=0, fn=0, tn=5, per_class={})
+    assert r.f1 == 1.0
+
+
+def test_dataset_histogram_matches_numpy():
+    vals = np.linspace(0, 1, 101)
+    ds = ray.data.from_arrow(pa.table({"score": pa.array(vals, pa.float64())}))
+    edges, counts = dataset_histogram(ds, "score", bins=10, lo=0.0, hi=1.0)
+    ref_counts, ref_edges = np.histogram(vals, bins=np.linspace(0, 1, 11))
+    assert counts == [int(c) for c in ref_counts]
+    assert edges == [float(e) for e in ref_edges]
+
+
+def test_stage_metrics_write(tmp_path):
+    m = StageMetrics()
+    m.count("normalize", "rows", 100)
+    m.histogram("edges", "score", np.array([0.1, 0.5, 0.9]))
+    path = m.write(str(tmp_path))
+    data = json.loads(open(path).read())
+    assert any(r["metric"] == "rows" and r["value"] == 100 for r in data)
+    assert any(r["metric"] == "score_hist" for r in data)
