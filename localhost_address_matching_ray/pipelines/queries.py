@@ -887,7 +887,7 @@ WITH e AS (
            OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTES
          THEN 1 ELSE 0 END AS brk
   FROM events)
-SELECT user_id, sum(brk) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM e GROUP BY user_id""",
     "sessionization (30-min gap) via per-user sorted map_groups — the "
     "partitioned-log window pattern (ordering assumption: ts within user)",
@@ -1035,7 +1035,7 @@ def doc_train_val_split(sf_dir: str) -> ray.data.Dataset:
     "corpus_repo_stats",
     _NORM_CTE + """
 SELECT repo, count(*) AS n_files, count(DISTINCT lang) AS n_langs,
-       sum(n_tokens) AS total_tokens
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM norm GROUP BY repo""",
     "per-repo rollup via two-level pre-aggregation (partial combine inside "
     "map_batches semantics: groupby(repo,lang) → groupby(repo))",

@@ -35,8 +35,35 @@ from ray.data.aggregate import Max, Min
 
 logger = logging.getLogger(__name__)
 
-#: per-worker-process cache of broadcast cluster maps (keyed by object ref)
+#: per-worker-process cache of the CURRENT broadcast cluster map (keyed by
+#: object ref hex). At most one entry lives at a time — repeated runs in a
+#: long-lived session must not accumulate full row_id→cluster dicts.
 _PROCESS_MAPS: dict = {}
+
+
+def _cached_broadcast(ref):
+    """Per-process cache of ``ray.get(ref)`` holding at most one entry."""
+    key = ref.hex()
+    val = _PROCESS_MAPS.get(key)
+    if val is None:
+        _PROCESS_MAPS.clear()
+        val = _PROCESS_MAPS[key] = ray.get(ref)
+    return val
+
+
+def _hex16_to_u64(ids: list[str]) -> "np.ndarray | None":
+    """Vectorized 16-hex-char row_id → uint64 (None if any id doesn't fit).
+    ``bytes.fromhex`` over the joined string is C-speed; the big-endian view
+    preserves lexicographic order, so sorted-u64 == sorted-hex."""
+    import numpy as np
+
+    try:
+        buf = bytes.fromhex("".join(ids))
+    except ValueError:
+        return None
+    if len(buf) != 8 * len(ids):
+        return None
+    return np.frombuffer(buf, dtype=">u8").astype(np.uint64)
 
 #: Join aggregator actors must not starve the pool: fractional CPUs, and the
 #: partition count stays well under the session's CPU count.
@@ -249,16 +276,36 @@ def assign_clusters(
             comp_tbl["row_id"].to_pylist(), comp_tbl["cluster_label"].to_pylist()
         ))
         # canonical sha per cluster label, computed from member rows only.
-        # membership test via a broadcast dict cached per worker process —
-        # pc.is_in would rebuild a ~|components| hash set on every batch.
-        label_ref = ray.put(label_of)
+        # membership test via a broadcast SORTED uint64 key array cached per
+        # worker process: row_ids are 16-hex-char sha prefixes, so the test is
+        # one numpy searchsorted per batch — no per-row Python, and no per-
+        # batch hash-set rebuild (pc.is_in would rebuild ~|components| entries
+        # every batch).
+        import numpy as np
+
+        member_ids = list(label_of.keys())
+        mku = _hex16_to_u64(member_ids)
+        if mku is not None:
+            label_ref = ray.put({"u64": np.sort(mku)})
+        else:  # non-hex row_ids: plain set fallback
+            label_ref = ray.put({"set": set(member_ids)})
 
         def pick_members(t: pa.Table) -> pa.Table:
-            lmap = _PROCESS_MAPS.get(label_ref.hex())
-            if lmap is None:
-                lmap = _PROCESS_MAPS[label_ref.hex()] = ray.get(label_ref)
-            mask = pa.array([r in lmap for r in t["row_id"].to_pylist()])
-            return t.filter(mask)
+            import numpy as np
+
+            lk = _cached_broadcast(label_ref)
+            rids = t["row_id"].to_pylist()
+            qk = _hex16_to_u64(rids) if "u64" in lk else None
+            if qk is not None:
+                keys = lk["u64"]
+                pos = np.minimum(np.searchsorted(keys, qk), len(keys) - 1)
+                mask = keys[pos] == qk
+            else:
+                s = lk.get("set")
+                if s is None:  # mixed-id batch against u64 keys: decode once
+                    s = lk["set"] = {format(int(k), "016x") for k in lk["u64"]}
+                mask = np.array([r in s for r in rids], dtype=bool)
+            return t.filter(pa.array(mask))
 
         members = _collect(
             slim.map_batches(pick_members, batch_format="pyarrow"),
@@ -272,21 +319,42 @@ def assign_clusters(
             prev = canon.get(lab)
             if prev is None or sha < prev:
                 canon[lab] = sha
-        # resolve the two maps into ONE row_id→cluster_id dict up front, and
-        # cache its deserialized form per worker process: ray.get of a large
-        # dict costs a full unpickle per call, which at one call per batch
-        # dominated the stage (observed 40 s at 1.5M rows)
+        # resolve the two maps into ONE row_id→cluster_id mapping up front,
+        # shipped as (sorted uint64 keys, values) arrays: numpy deserializes
+        # zero-copy from plasma (a dict cost a full unpickle per worker —
+        # observed 40 s at 1.5M rows) and lookup is one searchsorted per batch
+        # instead of a per-row dict loop.
         resolved = {rid: canon[lab] for rid, lab in label_of.items()}
-        maps_ref = ray.put(resolved)
+        rku = _hex16_to_u64(list(resolved.keys()))
+        if rku is not None:
+            order = np.argsort(rku)
+            maps_ref = ray.put({
+                "u64": rku[order],
+                "vals": np.array(list(resolved.values()), dtype=object)[order],
+            })
+        else:
+            maps_ref = ray.put({"dict": resolved})
 
         def resolve(t: pa.Table) -> pa.Table:
-            cache = _PROCESS_MAPS
-            cmap = cache.get(maps_ref.hex())
-            if cmap is None:
-                cmap = cache[maps_ref.hex()] = ray.get(maps_ref)
+            import numpy as np
+
+            m = _cached_broadcast(maps_ref)
             rids = t["row_id"].to_pylist()
             shas = t["content_sha256"].to_pylist()
-            out = [cmap.get(r, s) for r, s in zip(rids, shas)]
+            qk = _hex16_to_u64(rids) if "u64" in m else None
+            if qk is not None:
+                keys, vals = m["u64"], m["vals"]
+                pos = np.minimum(np.searchsorted(keys, qk), len(keys) - 1)
+                hit = keys[pos] == qk
+                out = np.where(hit, vals[pos], np.array(shas, dtype=object)).tolist()
+            else:
+                d = m.get("dict")
+                if d is None:  # mixed-id batch against u64 keys: decode once
+                    d = m["dict"] = {
+                        format(int(k), "016x"): v
+                        for k, v in zip(m["u64"], m["vals"])
+                    }
+                out = [d.get(r, s) for r, s in zip(rids, shas)]
             return pa.table({
                 "row_id": t["row_id"],
                 "cluster_id": pa.array(out, pa.string()),

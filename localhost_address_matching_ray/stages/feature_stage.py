@@ -135,11 +135,21 @@ class FeatureExtractor:
 #: per-worker-process extractor cache for the task-based path: state is
 #: rebuilt at most once per (worker, config) — the same amortization an
 #: actor gives, without actor-pool cold-start (new processes, imports).
-_PROCESS_EXTRACTORS: dict[int, FeatureExtractor] = {}
+#: Keyed by config CONTENT (not id()): two runs in one session whose configs
+#: coincidentally share an address must not reuse stale extractor state.
+_PROCESS_EXTRACTORS: dict = {}
+
+
+def _config_cache_key(config: PipelineConfig) -> tuple:
+    return (
+        config.num_perm, config.lsh_bands, config.shingle_k,
+        config.pipeline_version,
+        tuple(sorted(config.lang_configs.items())),
+    )
 
 
 def _extract_batch_factory(config: PipelineConfig):
-    key = id(config)
+    key = _config_cache_key(config)
 
     def extract(batch: pa.Table) -> pa.Table:
         fx = _PROCESS_EXTRACTORS.get(key)

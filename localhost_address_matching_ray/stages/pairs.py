@@ -139,13 +139,33 @@ def candidate_edges(blocks: ray.data.Dataset, config: PipelineConfig) -> ray.dat
         return t.append_column("pbucket", pa.array(pb, pa.int32()))
 
     def dedup_bucket(group: pa.Table) -> pa.Table:
-        import polars as pl
+        import pyarrow.compute as pc
 
-        df = pl.from_arrow(group.select(["u", "v", "score"]))
-        out = df.group_by(["u", "v"]).agg(pl.col("score").max()).to_arrow()
-        return out.cast(pa.schema([
-            ("u", pa.string()), ("v", pa.string()), ("score", pa.float64()),
-        ]))
+        t = group.select(["u", "v", "score"]).combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            return pa.table(_EMPTY_EDGES)
+        order = pc.sort_indices(
+            t, sort_keys=[("u", "ascending"), ("v", "ascending")]
+        )
+        t = t.take(order).combine_chunks()
+        u, v = t["u"].chunk(0), t["v"].chunk(0)
+        # run boundaries over the sorted (u, v) pairs; per-run max via reduceat
+        if n > 1:
+            diff = pc.or_(
+                pc.not_equal(u.slice(1), u.slice(0, n - 1)),
+                pc.not_equal(v.slice(1), v.slice(0, n - 1)),
+            ).to_numpy(zero_copy_only=False)
+            starts = np.concatenate(([0], np.flatnonzero(diff) + 1))
+        else:
+            starts = np.array([0])
+        best = np.maximum.reduceat(t["score"].to_numpy(zero_copy_only=False), starts)
+        idx = pa.array(starts)
+        return pa.table({
+            "u": u.take(idx),
+            "v": v.take(idx),
+            "score": pa.array(best, pa.float64()),
+        })
 
     return raw.map_batches(tag_pair_bucket, batch_format="pyarrow").groupby(
         "pbucket"
