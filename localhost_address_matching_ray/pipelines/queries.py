@@ -430,9 +430,7 @@ def doc_token_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
     return token_jaccard_pairs(docs, threshold=0.97)
 
 
-@register(
-    "doc_ngram_dup_pairs",
-    f"""
+_NGRAM_PAIRS_SQL = f"""
 WITH tk AS (
   SELECT doc_id, lang,
          unnest(string_split({_DOCNORM}, ' ')) AS tok,
@@ -447,7 +445,12 @@ ss AS (SELECT doc_id, lang, list_distinct(list(shingle)) AS ss
 SELECT a.doc_id AS u, b.doc_id AS v,
        round(len(list_intersect(a.ss, b.ss))::DOUBLE / len(list_distinct(a.ss || b.ss)), 6) AS jaccard
 FROM ss a JOIN ss b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.ss, b.ss))::DOUBLE / len(list_distinct(a.ss || b.ss)) >= 0.5""",
+WHERE len(list_intersect(a.ss, b.ss))::DOUBLE / len(list_distinct(a.ss || b.ss)) >= 0.5"""
+
+
+@register(
+    "doc_ngram_dup_pairs",
+    _NGRAM_PAIRS_SQL,
     "3-gram shingle Jaccard near-dup pairs within lang (exact oracle baseline)",
 )
 def doc_ngram_dup_pairs(sf_dir: str) -> ray.data.Dataset:
@@ -457,8 +460,13 @@ def doc_ngram_dup_pairs(sf_dir: str) -> ray.data.Dataset:
     return ngram_dup_pairs(docs, k=3, threshold=0.5)
 
 
-@register("doc_minhash_lsh_pairs", None,
-          "MinHash-LSH near-dup candidates (the scale path; rows-only check)")
+@register(
+    "doc_minhash_lsh_pairs",
+    _NGRAM_PAIRS_SQL,
+    "MinHash-LSH candidates + exact shingle-Jaccard verify — the scale path; "
+    "verified output equals the exact n-gram oracle (bands=64/r=2 recall "
+    "≈ 1 − 7.5e-9 at J ≥ 0.5), so it shares doc_ngram_dup_pairs' SQL oracle",
+)
 def doc_minhash_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
     from localhost_address_matching_ray.stages.docs_ops import minhash_lsh_pairs
 
@@ -533,13 +541,17 @@ SELECT a.vec_id AS u, b.vec_id AS v,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45""",
-    "embedding-cosine near-dup pairs (block-broadcast matmul)",
+    "embedding-cosine near-dup pairs — served by the LSH-bucketed scale path "
+    "with exact-cosine verification (recall-tuned: 4 planes × 64 tables → "
+    "per-pair miss ≈ 3.8e-6 at cos 0.45); the brute-force block-broadcast "
+    "baseline (stages.ann.cosine_pairs) survives as the in-test cross-check "
+    "only — no registered query materializes the full matrix on the driver",
 )
 def embedding_dup_pairs(sf_dir: str) -> ray.data.Dataset:
-    from localhost_address_matching_ray.stages.ann import cosine_pairs
+    from localhost_address_matching_ray.stages.ann import lsh_cosine_pairs
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return cosine_pairs(emb, threshold=0.45)
+    return lsh_cosine_pairs(emb, threshold=0.45, n_planes=4, n_tables=64)
 
 
 @register(
@@ -1055,12 +1067,15 @@ def corpus_repo_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 @register("embedding_lsh_pairs", None,
-          "LSH-bucketed cosine near-dup pairs (scale path for embedding_dup_pairs; rows-only)")
+          "high-selectivity LSH config (12 planes × 16 tables): the bucket-"
+          "size-bounded configuration a 10^9-row corpus would run, trading "
+          "recall at low cosine thresholds for small buckets — rows-only by "
+          "design (embedding_dup_pairs is the recall-tuned oracled variant)")
 def embedding_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
     from localhost_address_matching_ray.stages.ann import lsh_cosine_pairs
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return lsh_cosine_pairs(emb, threshold=0.45, n_planes=4, n_tables=16)
+    return lsh_cosine_pairs(emb, threshold=0.45, n_planes=12, n_tables=16)
 
 
 @register(

@@ -104,19 +104,35 @@ def ann_topk(
     return cands.groupby("query_id").map_groups(reduce_group, batch_format="pyarrow")
 
 
+#: cosine_pairs collects the full embedding matrix to the driver — baseline
+#: cross-check only; a larger input is a usage error, not a scale path.
+COSINE_BASELINE_MAX_ROWS = 200_000
+
+
 def cosine_pairs(
     embeddings: ray.data.Dataset,
     threshold: float,
     concurrency: int = 4,
+    max_rows: int | None = None,
 ) -> ray.data.Dataset:
-    """All pairs (u < v) with round(cosine, 6) ≥ threshold.
+    """All pairs (u < v) with round(cosine, 6) ≥ threshold — the BRUTE-FORCE
+    BASELINE, used only as the in-test oracle cross-check for
+    :func:`lsh_cosine_pairs` (which is what the registered
+    ``embedding_dup_pairs`` query runs).
 
-    Block-broadcast pattern: the full (normalized) matrix rides the object
-    store once; each batch matmuls against it. O(n²/B) per task — the
-    embedding-cosine near-dup baseline. For 10^9+ rows switch to the LSH
-    bucket variant (same interface) — documented trade-off.
+    Block-broadcast pattern: the full matrix is collected once to the driver
+    and rides the object store; each batch matmuls against it. O(n²/B) per
+    task AND O(n·dim) driver memory — guarded by a hard row cap so it cannot
+    silently run at scale.
     """
     all_tbl = embeddings.select_columns(["vec_id", "embedding"]).materialize()
+    n_rows = all_tbl.count()
+    cap = COSINE_BASELINE_MAX_ROWS if max_rows is None else max_rows
+    if n_rows > cap:
+        raise ValueError(
+            f"cosine_pairs is the O(n²) driver-broadcast baseline and refuses "
+            f"{n_rows} rows (cap {cap}); use lsh_cosine_pairs instead."
+        )
     full = pa.concat_tables(ray.get(all_tbl.to_arrow_refs()))
     ids = full["vec_id"].to_numpy(zero_copy_only=False)
     mat_ref = ray.put({"ids": ids, "m": _emb_matrix(full)})
@@ -182,9 +198,18 @@ def lsh_cosine_pairs(
     concurrency: int | None = None,
 ) -> ray.data.Dataset:
     """LSH-bucketed cosine near-dup pairs — the scale path for
-    :func:`cosine_pairs`: cost is O(rows·tables) + per-bucket pairwise,
-    never all-pairs. Candidates are verified with the exact (rounded)
-    cosine, so precision is exact and recall is the LSH union bound."""
+    :func:`cosine_pairs`: cost is O(rows·tables) emission + per-bucket
+    pairwise verification, never a driver-side all-pairs. Candidates are
+    verified with the exact (rounded) cosine, so precision is exact and
+    recall is the union bound 1 − (1 − (1 − θ/π)^n_planes)^n_tables.
+
+    Parameter trade (documented, per-query choice): few planes + many tables
+    (4×64) drives per-pair miss to ~1e-6 even at low thresholds — the
+    recall-tuned config the oracled query uses; many planes (12×16) keeps
+    expected bucket size n/4096 per table — the bounded-bucket config a
+    10^9-row corpus needs, at the price of recall for low-cosine pairs. For
+    genuinely low thresholds at scale, the right structure is IVF
+    (coarse-quantize then probe neighboring cells), not hyperplane LSH."""
     from localhost_address_matching_ray.config import default_pool_size
     from ray.data.aggregate import Max
 

@@ -12,9 +12,14 @@ Python set intersections.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data
+
+logger = logging.getLogger(__name__)
 
 from localhost_address_matching_ray.config import PipelineConfig
 from localhost_address_matching_ray.functions.hashing import (
@@ -106,12 +111,36 @@ def _pairwise_jaccard_block(
     return us, vs, sc
 
 
+#: Hard row cap for the whole-language O(block²) oracle baselines below.
+#: They exist to cross-check the LSH scale paths on sandbox-sized tables;
+#: a run over more rows than this is almost certainly a mistake (the block
+#: is one task holding an entire language) and fails fast with a pointer to
+#: the scale path instead of silently attempting an O(n²) matmul.
+UNSCALED_BASELINE_MAX_ROWS = 200_000
+
+
+def _guard_unscaled(docs: ray.data.Dataset, op: str, scale_path: str,
+                    max_rows: int | None) -> None:
+    cap = UNSCALED_BASELINE_MAX_ROWS if max_rows is None else max_rows
+    n = docs.count()
+    if n > cap:
+        raise ValueError(
+            f"{op} is the O(block²) oracle baseline and refuses {n} rows "
+            f"(cap {cap}): one whole-language group would run in a single "
+            f"task. Use {scale_path} (the LSH scale path) instead, or pass "
+            f"max_rows explicitly to override."
+        )
+
+
 def ngram_dup_pairs(
-    docs: ray.data.Dataset, k: int = 3, threshold: float = 0.5
+    docs: ray.data.Dataset, k: int = 3, threshold: float = 0.5,
+    max_rows: int | None = None,
 ) -> ray.data.Dataset:
     """Exact k-token-shingle Jaccard near-dup pairs within each lang block.
-    O(block²) by design — the *oracle-able* baseline; LSH below is the scale
-    path."""
+    O(block²) by design — the *oracle-able* baseline; guarded by a row cap
+    (``UNSCALED_BASELINE_MAX_ROWS``). :func:`minhash_lsh_pairs` is the scale
+    path and converges to this exact output under its verify stage."""
+    _guard_unscaled(docs, "ngram_dup_pairs", "minhash_lsh_pairs", max_rows)
 
     def per_lang(group: pa.Table) -> pa.Table:
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
@@ -129,9 +158,12 @@ def ngram_dup_pairs(
 
 
 def token_jaccard_pairs(
-    docs: ray.data.Dataset, threshold: float = 0.97
+    docs: ray.data.Dataset, threshold: float = 0.97,
+    max_rows: int | None = None,
 ) -> ray.data.Dataset:
-    """Distinct-token (1-gram) Jaccard pairs within lang — same machinery."""
+    """Distinct-token (1-gram) Jaccard pairs within lang — same machinery,
+    same row-cap guard (oracle baseline, not a scale path)."""
+    _guard_unscaled(docs, "token_jaccard_pairs", "minhash_lsh_pairs(k=1)", max_rows)
 
     def per_lang(group: pa.Table) -> pa.Table:
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
@@ -151,8 +183,16 @@ def token_jaccard_pairs(
     )
 
 
-class _DocMinHasher:
-    """Actor: MinHash signatures + LSH band keys for documents."""
+class _DocBandKeyer:
+    """Actor: MinHash LSH band keys for documents — KEY-ONLY emission.
+
+    The candidates-then-verify shape (flagship lesson, round 1: carrying
+    signatures through the band shuffle multiplied the payload by the band
+    count): each doc contributes ``bands`` rows of (doc_id, band_key uint64)
+    — 16 B/row — and nothing else. Signatures never ride the shuffle;
+    survivors are verified EXACTLY against their shingle sets in a second,
+    narrow pass over only the candidate docs.
+    """
 
     def __init__(self, num_perm: int, bands: int, k: int) -> None:
         self.mh = MinHasher(num_perm=num_perm)
@@ -164,7 +204,6 @@ class _DocMinHasher:
         import hashlib
 
         ids, keys = [], []
-        sigs = []
         for did, lg, t in zip(
             batch["doc_id"].to_pylist(), batch["lang"].to_pylist(),
             batch["text"].to_pylist(),
@@ -177,14 +216,73 @@ class _DocMinHasher:
                 keys.append(int.from_bytes(
                     hashlib.sha1(f"{lg}|{bk}".encode()).digest()[:8], "big"
                 ))
-                sigs.append(sig.tobytes())
         kh = np.array(keys, dtype=np.uint64)
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "band_key": pa.array(kh, pa.uint64()),
             "bucket": pa.array((kh % np.uint64(64)).astype(np.int32), pa.int32()),
-            "sig": pa.array(sigs, pa.binary()),
         })
+
+
+def _distinct_pairs_bucket(group: pa.Table, key_col: str, max_band_rows: int = 4096) -> pa.Table:
+    """One 64-way bucket of (id, key) rows → distinct candidate pairs.
+
+    Whole key-blocks colocate here (bucket = key % 64); runs of equal key are
+    found by numpy diff — no per-key Python group calls (the
+    high-cardinality-groupby floor lesson). Pairs are deduped within the
+    bucket via np.unique, so the downstream verify never sees band-level
+    duplicates."""
+    empty = pa.table({
+        "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+    })
+    n = group.num_rows
+    if n < 2:
+        return empty
+    kh = group[key_col].to_numpy(zero_copy_only=False)
+    ids_all = group["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids_all, kh))
+    kh = kh[order]; ids_all = ids_all[order]
+    bounds = np.flatnonzero(np.diff(kh)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [n]))
+    chunks = []
+    for s0, e0 in zip(starts, ends):
+        k = e0 - s0
+        if k < 2:
+            continue
+        if k > max_band_rows:
+            logger.warning(
+                "band block overflow: %d rows > %d — keeping first %d "
+                "(near-identical content; ring handled by remaining bands)",
+                k, max_band_rows, max_band_rows,
+            )
+            k = max_band_rows
+            e0 = s0 + k
+        ids = ids_all[s0:e0]
+        iu, jv = np.triu_indices(k, 1)
+        a, b = ids[iu], ids[jv]
+        keep = a != b
+        chunks.append(np.stack([a[keep], b[keep]], axis=1))
+    if not chunks:
+        return empty
+    pairs = np.unique(np.concatenate(chunks), axis=0)
+    return pa.table({
+        "u": pa.array(pairs[:, 0], pa.int64()),
+        "v": pa.array(pairs[:, 1], pa.int64()),
+    })
+
+
+def _collect_distinct_pairs(cand: ray.data.Dataset) -> np.ndarray:
+    """Driver collect of the (small, already bucket-deduped) candidate pair
+    set as an (n, 2) int64 array, distinct across buckets."""
+    tbls = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
+    if not tbls:
+        return np.empty((0, 2), dtype=np.int64)
+    t = pa.concat_tables([t.select(["u", "v"]) for t in tbls])
+    arr = np.stack([
+        t["u"].to_numpy(zero_copy_only=False), t["v"].to_numpy(zero_copy_only=False)
+    ], axis=1)
+    return np.unique(arr, axis=0)
 
 
 def minhash_lsh_pairs(
@@ -194,110 +292,248 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     concurrency: int | None = None,
+    max_candidates: int = 5_000_000,
 ) -> ray.data.Dataset:
-    """MinHash-LSH near-dup candidates, verified by signature-estimated
-    Jaccard ≥ threshold. The scale path: cost is O(rows·bands) + per-bucket
-    pairs, never all-pairs. bands=64/r=2 → recall ≈ 1 at J ≥ 0.5."""
-    from ray.data.aggregate import Max
+    """MinHash-LSH near-dup pairs with EXACT shingle-Jaccard verification —
+    the scale path whose verified output equals :func:`ngram_dup_pairs`
+    (same k, same threshold) up to LSH recall, which at bands=64/r=2 is
+    1 − (1 − J^2)^64 ≈ 1 − 7.5e-9 at J = 0.5.
 
+    Three narrow passes, none of which ships content or signatures through a
+    shuffle:
+
+    1. key-only band emission (16 B per band row) → bucketed distinct
+       candidate pairs;
+    2. shingle-set fetch for ONLY the candidate docs (a filtered second read
+       — candidates are O(near-dups), orders of magnitude below the corpus);
+    3. exact Jaccard on each candidate pair, thresholded.
+
+    The candidate set and its docs' shingle sets are broadcast via the object
+    store; ``max_candidates`` bounds that driver/broadcast footprint the same
+    way ``driver_cc_max_edges`` bounds the clustering stage.
+    """
     from localhost_address_matching_ray.config import default_pool_size
 
     band_rows = docs.select_columns(["doc_id", "lang", "text"]).map_batches(
-        _DocMinHasher, fn_constructor_args=(num_perm, bands, shingle_k),
+        _DocBandKeyer, fn_constructor_args=(num_perm, bands, shingle_k),
         batch_format="pyarrow", batch_size=2048,
         concurrency=default_pool_size(concurrency), num_cpus=1,
     )
+    cand = band_rows.groupby("bucket").map_groups(
+        lambda g: _distinct_pairs_bucket(g, "band_key"), batch_format="pyarrow"
+    )
+    pairs = _collect_distinct_pairs(cand)
+    empty = pa.table({
+        "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    })
+    if len(pairs) == 0:
+        return ray.data.from_arrow(empty)
+    if len(pairs) > max_candidates:
+        raise ValueError(
+            f"minhash_lsh_pairs: {len(pairs)} candidates exceed "
+            f"max_candidates={max_candidates}; raise the threshold/bands or "
+            f"partition the corpus before pairing."
+        )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        """One 64-way bucket: whole band-blocks colocate here (bucket =
-        band_key % 64); per-block work is found by numpy run boundaries —
-        no per-band-key Python group calls (the high-cardinality-groupby
-        floor lesson from the flagship pair stage)."""
-        n = group.num_rows
-        empty = pa.table({
-            "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
-            "est_jaccard": pa.array([], pa.float64()),
+    involved = np.unique(pairs)
+    inv_ref = ray.put(np.sort(involved))
+
+    def fetch_shingles(batch: pa.Table) -> pa.Table:
+        """Shingle sets for candidate docs only (sorted-u64 searchsorted)."""
+        keys = ray.get(inv_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, ids), len(keys) - 1)
+        mask = keys[pos] == ids
+        batch = batch.filter(pa.array(mask))
+        sh = [
+            sorted(set(_doc_shingles(t, shingle_k)))
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "shingles": pa.array(sh, pa.list_(pa.string())),
         })
-        if n < 2:
-            return empty
-        kh = group["band_key"].to_numpy(zero_copy_only=False)
-        ids_all = group["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids_all, kh))
-        kh = kh[order]; ids_all = ids_all[order]
-        sig_all = np.frombuffer(
-            b"".join(group["sig"].take(pa.array(order)).to_pylist()), dtype=np.uint64
-        ).reshape(n, num_perm)
-        bounds = np.flatnonzero(np.diff(kh)) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [n]))
-        us, vs, sc = [], [], []
-        for s0, e0 in zip(starts, ends):
-            if e0 - s0 < 2:
+
+    sh_tbls = [
+        t for t in ray.get(
+            docs.select_columns(["doc_id", "text"]).map_batches(
+                fetch_shingles, batch_format="pyarrow", batch_size=2048
+            ).to_arrow_refs()
+        )
+        if t.num_rows > 0
+    ]
+    shingle_of: dict[int, set] = {}
+    for t in sh_tbls:
+        for did, sh in zip(t["doc_id"].to_pylist(), t["shingles"].to_pylist()):
+            shingle_of[did] = set(sh)
+
+    sh_ref = ray.put(shingle_of)
+    pairs_ds = ray.data.from_arrow(pa.table({
+        "u": pa.array(pairs[:, 0], pa.int64()),
+        "v": pa.array(pairs[:, 1], pa.int64()),
+    }))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sh = ray.get(sh_ref)
+        us, vs, js = [], [], []
+        for a, b in zip(batch["u"].to_pylist(), batch["v"].to_pylist()):
+            sa, sb = sh.get(a), sh.get(b)
+            if sa is None or sb is None:
                 continue
-            ids = ids_all[s0:e0]; sigs = sig_all[s0:e0]
-            for i in range(len(ids) - 1):
-                if ids[i] == ids[i + 1]:
-                    continue
-                est = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-                hits = np.nonzero(est >= threshold)[0]
-                for h in hits:
-                    if ids[i] != ids[i + 1 + h]:
-                        us.append(int(ids[i])); vs.append(int(ids[i + 1 + h]))
-                        sc.append(float(est[h]))
+            union = len(sa | sb)
+            j = len(sa & sb) / union if union else 1.0
+            if j >= threshold:
+                us.append(a); vs.append(b)
+                js.append(float(duckdb_round(j, 6)))
         return pa.table({
             "u": pa.array(us, pa.int64()),
             "v": pa.array(vs, pa.int64()),
-            "est_jaccard": pa.array(sc, pa.float64()),
+            "jaccard": pa.array(js, pa.float64()),
         })
 
-    raw = band_rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-    return raw.groupby(["u", "v"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+    return pairs_ds.map_batches(verify, batch_format="pyarrow", batch_size=8192)
+
+
+_SH_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_SH_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
 
 def simhash_pairs(
-    docs: ray.data.Dataset, max_hamming: int = 6, concurrency: int | None = None
+    docs: ray.data.Dataset, max_hamming: int = 6, concurrency: int | None = None,
+    max_block_rows: int = 8192,
 ) -> ray.data.Dataset:
-    """SimHash near-dup pairs within lang: 64-bit fingerprints, Hamming
-    distance ≤ max_hamming, vectorized XOR-popcount per block."""
+    """SimHash near-dup pairs via Hamming-LSH pigeonhole blocking.
+
+    64-bit fingerprints; a pair at Hamming distance ≤ d must agree EXACTLY on
+    at least one of d+1 disjoint bit-blocks (pigeonhole), so each doc emits
+    d+1 key rows ``hash(lang, block_idx, block_bits)`` and only same-key runs
+    are verified with the exact XOR-popcount — recall 1 by construction,
+    cost O(rows·(d+1)) emission + per-run verification instead of the former
+    whole-language O(k²) scan. Runs over ``max_block_rows`` are truncated
+    with a warning (a run that large means near-constant fingerprints).
+
+    PARTITIONING ASSUMPTION: with ~9-bit blocks a random-fingerprint corpus
+    yields runs of ~n_lang/512 per block index; for corpora where that
+    exceeds ``max_block_rows`` the next refinement is recursive pigeonhole
+    (re-split runs on the remaining bits), which preserves exactness.
+    """
 
     class Hasher:
         def __init__(self) -> None:
             self.sh = SimHasher()
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            hs = [
+            import hashlib
+
+            hs = np.array([
                 self.sh.simhash(normalize_content(t).split(" "))
                 for t in batch["text"].to_pylist()
-            ]
+            ], dtype=np.uint64)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            langs = batch["lang"].to_pylist()
+            lang_h = np.array([
+                int.from_bytes(hashlib.sha1(lg.encode()).digest()[:8], "big")
+                for lg in langs
+            ], dtype=np.uint64)
+            n_blocks = max_hamming + 1
+            # block b covers bits [b*64//n_blocks, (b+1)*64//n_blocks)
+            edges = [(b * 64) // n_blocks for b in range(n_blocks + 1)]
+            out_id, out_key, out_sh = [], [], []
+            for b in range(n_blocks):
+                lo, hi = edges[b], edges[b + 1]
+                bits = (hs >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1)
+                key = (lang_h ^ (np.uint64(b + 1) * _SH_MIX2)) * _SH_MIX1 ^ (
+                    bits * _SH_MIX2
+                )
+                key = key ^ (key >> np.uint64(29))
+                out_id.append(ids)
+                out_key.append(key)
+                out_sh.append(hs)
+            kh = np.concatenate(out_key)
             return pa.table({
-                "doc_id": batch["doc_id"],
-                "lang": batch["lang"],
-                "simhash": pa.array(np.array(hs, dtype=np.uint64), pa.uint64()),
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "key": pa.array(kh, pa.uint64()),
+                "bucket": pa.array((kh % np.uint64(64)).astype(np.int32), pa.int32()),
+                "simhash": pa.array(np.concatenate(out_sh), pa.uint64()),
             })
 
     from localhost_address_matching_ray.config import default_pool_size
 
-    hashed = docs.select_columns(["doc_id", "lang", "text"]).map_batches(
+    keyed = docs.select_columns(["doc_id", "lang", "text"]).map_batches(
         Hasher, batch_format="pyarrow", batch_size=2048,
         concurrency=default_pool_size(concurrency), num_cpus=1,
     )
 
-    def per_lang(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        hs = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        us, vs, dd = [], [], []
-        for i in range(len(ids) - 1):
-            d = hamming64_arrays(np.full(len(ids) - i - 1, hs[i], np.uint64), hs[i + 1 :])
-            hits = np.nonzero(d <= max_hamming)[0]
-            for h in hits:
-                a, b = int(ids[i]), int(ids[i + 1 + h])
-                if a > b:
-                    a, b = b, a
-                us.append(a); vs.append(b); dd.append(int(d[h]))
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        })
+        n = group.num_rows
+        if n < 2:
+            return empty
+        kh = group["key"].to_numpy(zero_copy_only=False)
+        ids_all = group["doc_id"].to_numpy(zero_copy_only=False)
+        hs_all = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids_all, kh))
+        kh = kh[order]; ids_all = ids_all[order]; hs_all = hs_all[order]
+        bounds = np.flatnonzero(np.diff(kh)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n]))
+        rec = []
+        for s0, e0 in zip(starts, ends):
+            k = e0 - s0
+            if k < 2:
+                continue
+            if k > max_block_rows:
+                logger.warning(
+                    "simhash block overflow: %d rows > %d — truncated", k, max_block_rows
+                )
+                e0 = s0 + max_block_rows
+                k = max_block_rows
+            ids = ids_all[s0:e0]; hs = hs_all[s0:e0]
+            iu, jv = np.triu_indices(k, 1)
+            d = hamming64_arrays(hs[iu], hs[jv])
+            hit = (d <= max_hamming) & (ids[iu] != ids[jv])
+            a, b = ids[iu][hit], ids[jv][hit]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            rec.append(np.stack([lo, hi, d[hit].astype(np.int64)], axis=1))
+        if not rec:
+            return empty
+        arr = np.unique(np.concatenate(rec), axis=0)
         return pa.table({
-            "u": pa.array(us, pa.int64()),
-            "v": pa.array(vs, pa.int64()),
-            "hamming": pa.array(dd, pa.int64()),
+            "u": pa.array(arr[:, 0], pa.int64()),
+            "v": pa.array(arr[:, 1], pa.int64()),
+            "hamming": pa.array(arr[:, 2], pa.int64()),
         })
 
-    return hashed.groupby("lang").map_groups(per_lang, batch_format="pyarrow")
+    raw = keyed.groupby("bucket").map_groups(verify_bucket, batch_format="pyarrow")
+
+    # cross-bucket dedup (a pair can match via blocks landing in different
+    # 64-way buckets): bucketed unique on hash(u,v) — no high-cardinality
+    # groupby
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("pb", pa.array([], pa.int32()))
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = ((u * _SH_MIX1 ^ v * _SH_MIX2) % np.uint64(64)).astype(np.int32)
+        return t.append_column("pb", pa.array(pb, pa.int32()))
+
+    def dedup(g: pa.Table) -> pa.Table:
+        arr = np.stack([
+            g["u"].to_numpy(zero_copy_only=False),
+            g["v"].to_numpy(zero_copy_only=False),
+            g["hamming"].to_numpy(zero_copy_only=False),
+        ], axis=1)
+        arr = np.unique(arr, axis=0)
+        return pa.table({
+            "u": pa.array(arr[:, 0], pa.int64()),
+            "v": pa.array(arr[:, 1], pa.int64()),
+            "hamming": pa.array(arr[:, 2], pa.int64()),
+        })
+
+    return raw.map_batches(tag, batch_format="pyarrow").groupby("pb").map_groups(
+        dedup, batch_format="pyarrow"
+    )

@@ -4,36 +4,53 @@ Exact generalization of the reference's gazetteer pickle cache
 (``data/ptt_data/map.py:159-203``): the cache is keyed by an input
 fingerprint (there: ``{path,size,sha256}``) plus a pipeline-version hint
 (there: ``norm_hint``, ``map.py:175``) so stale caches self-invalidate, and
-the write is atomic (tmp + ``os.replace``, ``map.py:200-203``).
+the commit is atomic. The reference commits with tmp + ``os.replace``
+(``map.py:200-203``); object stores have no atomic directory rename, so here
+the commit marker is the manifest itself: ``_manifest.json`` is written LAST,
+after every part file and the row-count pass, and validation requires it —
+a crashed half-written checkpoint never validates and is overwritten on the
+next run.
 
-Here a checkpoint is a directory of Parquet part files plus
-``_manifest.json`` carrying ``{input_fingerprint, stage, pipeline_version,
-row_count}``. ``load_or_compute`` skips the stage when the manifest
-validates — that is what "resumable from checkpoint" means for a batch
-pipeline.
+All filesystem access routes through ``pyarrow.fs.FileSystem.from_uri`` so a
+checkpoint dir may be a local path or an object-store URI (``s3://...``) —
+one code path for both (the driver contract's ``--checkpoint-dir``).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
+import posixpath
 from collections.abc import Callable
 
 import ray.data
+from pyarrow import fs as pafs
 
 MANIFEST = "_manifest.json"
 
 
+def resolve_fs(path: str) -> tuple[pafs.FileSystem, str]:
+    """(filesystem, fs-internal path) for a local path or URI."""
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), os.path.abspath(path)
+
+
+def _join(fs_path: str, name: str) -> str:
+    return posixpath.join(fs_path, name)
+
+
 def manifest_path(ckpt_dir: str) -> str:
-    return os.path.join(ckpt_dir, MANIFEST)
+    _, p = resolve_fs(ckpt_dir)
+    return _join(p, MANIFEST)
 
 
 def checkpoint_valid(ckpt_dir: str, input_fingerprint: str, stage: str, version: str) -> bool:
     """True iff a completed checkpoint for (input, stage, version) exists."""
     try:
-        with open(manifest_path(ckpt_dir), "r", encoding="utf-8") as f:
-            m = json.load(f)
+        fs, p = resolve_fs(str(ckpt_dir))
+        with fs.open_input_stream(_join(p, MANIFEST)) as f:
+            m = json.loads(f.read().decode("utf-8"))
     except (OSError, ValueError):
         return False
     return (
@@ -51,18 +68,20 @@ def write_checkpoint(
     version: str,
     metrics: dict | None = None,
 ) -> ray.data.Dataset:
-    """Write ``ds`` to ``ckpt_dir`` atomically (tmp dir + rename) with a
-    manifest; returns a Dataset reading the checkpoint back (so downstream
-    stages consume the durable copy, and a retry re-reads instead of
-    recomputing)."""
-    tmp = ckpt_dir.rstrip("/") + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    os.makedirs(tmp, exist_ok=True)
-    ds.write_parquet(tmp)
-    row_count = ray.data.read_parquet(tmp).count()
-    with open(os.path.join(tmp, MANIFEST), "w", encoding="utf-8") as f:
-        json.dump(
+    """Write ``ds`` to ``ckpt_dir`` with manifest-last commit semantics;
+    returns a Dataset reading the checkpoint back (so downstream stages
+    consume the durable copy, and a retry re-reads instead of recomputing)."""
+    ckpt_dir = str(ckpt_dir)
+    fs, p = resolve_fs(ckpt_dir)
+    try:  # clear any stale (uncommitted or invalidated) checkpoint
+        fs.delete_dir(p)
+    except (OSError, FileNotFoundError):
+        pass
+    fs.create_dir(p, recursive=True)
+    ds.write_parquet(ckpt_dir)
+    row_count = ray.data.read_parquet(ckpt_dir, file_extensions=["parquet"]).count()
+    with fs.open_output_stream(_join(p, MANIFEST)) as f:  # commit marker
+        f.write(json.dumps(
             {
                 "input_fingerprint": input_fingerprint,
                 "stage": stage,
@@ -70,11 +89,7 @@ def write_checkpoint(
                 "row_count": row_count,
                 "metrics": metrics or {},
             },
-            f,
-        )
-    if os.path.exists(ckpt_dir):
-        shutil.rmtree(ckpt_dir)
-    os.replace(tmp, ckpt_dir)
+        ).encode("utf-8"))
     return ray.data.read_parquet(ckpt_dir, file_extensions=["parquet"])
 
 
@@ -91,7 +106,8 @@ def load_or_compute(
     disables checkpointing entirely (pure streaming run)."""
     if ckpt_dir is None:
         return compute()
-    stage_dir = os.path.join(ckpt_dir, stage)
+    stage_dir = posixpath.join(str(ckpt_dir), stage) if "://" in str(ckpt_dir) \
+        else os.path.join(str(ckpt_dir), stage)
     if checkpoint_valid(stage_dir, input_fingerprint, stage, version):
         return ray.data.read_parquet(stage_dir, file_extensions=["parquet"])
     return write_checkpoint(compute(), stage_dir, input_fingerprint, stage, version, metrics)

@@ -80,10 +80,14 @@ class StageMetrics:
         return list(self._rows)
 
     def write(self, out_dir: str) -> str:
-        os.makedirs(out_dir, exist_ok=True)
-        path = os.path.join(out_dir, "stage_metrics.json")
-        tmp = path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(self._rows, f, indent=1)
-        os.replace(tmp, path)
+        """Persist the sidecar next to the checkpoints. Routed through
+        ``pyarrow.fs`` so ``out_dir`` may be a local path or an object-store
+        URI (same contract as ``state.checkpoint``)."""
+        from localhost_address_matching_ray.state.checkpoint import resolve_fs
+
+        fs, p = resolve_fs(str(out_dir))
+        fs.create_dir(p, recursive=True)
+        path = os.path.join(str(out_dir), "stage_metrics.json")
+        with fs.open_output_stream(p + "/stage_metrics.json") as f:
+            f.write(json.dumps(self._rows, indent=1).encode("utf-8"))
         return path
