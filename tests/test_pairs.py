@@ -1,0 +1,118 @@
+"""Candidates-then-verify pair stage: windowed candidate generation with
+spanning chain, broadcast vs join signature fetch, and the Jaro-Winkler
+stem-assist band (north-star kernel: batched JW on path stems)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from localhost_address_matching_ray.config import PipelineConfig
+from localhost_address_matching_ray.stages.pairs import (
+    candidate_edges,
+    candidate_pairs,
+    verify_edges,
+)
+
+
+def _rid(i: int) -> str:
+    return format(i + 1, "016x")
+
+
+def _sig(eq_frac: float, seed: int, base: int = 7) -> bytes:
+    """sig8 sharing ``eq_frac`` of 128 bytes with the base signature."""
+    n_eq = int(round(eq_frac * 128))
+    rng = np.random.RandomState(seed)
+    tail = (rng.randint(100, 200, 128 - n_eq)).astype(np.uint8)
+    return bytes([base] * n_eq) + tail.tobytes()
+
+
+def _features(rows):
+    return ray.data.from_arrow(pa.table({
+        "row_id": pa.array([r[0] for r in rows], pa.string()),
+        "sig8": pa.array([r[1] for r in rows], pa.binary()),
+        "stem": pa.array([r[2] for r in rows], pa.string()),
+    }))
+
+
+def _blocks(pairs_of_ids):
+    """One block per (key, ids) entry; sigp=0 (sort proxy irrelevant here)."""
+    ks, ids = [], []
+    for key, members in pairs_of_ids:
+        for m in members:
+            ks.append(key)
+            ids.append(m)
+    kh = np.array(ks, dtype=np.uint64)
+    return ray.data.from_arrow(pa.table({
+        "block_key": pa.array(kh, pa.uint64()),
+        "bucket": pa.array((kh % np.uint64(64)).astype(np.int32), pa.int32()),
+        "row_id": pa.array(ids, pa.string()),
+        "sigp": pa.array(np.zeros(len(ids), np.uint64), pa.uint64()),
+    }))
+
+
+def test_jw_stem_assist_band():
+    """est in [rename_floor, threshold): similar stems → edge, dissimilar
+    stems → no edge; est ≥ threshold needs no stem help."""
+    cfg = PipelineConfig(jaccard_threshold=0.60, rename_jaccard_floor=0.45,
+                         stem_sim_threshold=0.90)
+    base = bytes([7] * 128)
+    rows = [
+        (_rid(0), base, "utils_v1"),
+        (_rid(1), _sig(0.55, 1), "utils_v2"),   # borderline + similar stem
+        (_rid(2), base, "alpha"),
+        (_rid(3), _sig(0.55, 2), "zzz_other"),  # borderline + unrelated stem
+        (_rid(4), base, "anything"),
+        (_rid(5), _sig(0.80, 3), "unrelated"),  # above threshold
+    ]
+    feats = _features(rows)
+    blocks = _blocks([
+        (101, [_rid(0), _rid(1)]),
+        (202, [_rid(2), _rid(3)]),
+        (303, [_rid(4), _rid(5)]),
+    ])
+    edges = {(r["u"], r["v"]): r["score"]
+             for r in candidate_edges(blocks, feats, cfg).take_all()}
+    assert (_rid(0), _rid(1)) in edges          # JW-assisted
+    assert (_rid(2), _rid(3)) not in edges      # stem too different
+    assert (_rid(4), _rid(5)) in edges          # plain threshold
+    assert 0.45 <= edges[(_rid(0), _rid(1))] < 0.60
+
+
+def test_broadcast_and_join_fetch_agree():
+    """verify_edges via broadcast fetch == via partitioned-join fetch."""
+    cfg_b = PipelineConfig()
+    cfg_j = PipelineConfig(verify_broadcast_max_rows=0)  # force join path
+    rng = np.random.RandomState(5)
+    rows = []
+    members = []
+    for i in range(30):
+        eq = 1.0 if i % 3 == 0 else (0.7 if i % 3 == 1 else 0.1)
+        rows.append((_rid(i), _sig(eq, 10 + i), f"stem{i}"))
+        members.append(_rid(i))
+    feats = _features(rows)
+    blocks = _blocks([(999, members)])
+    pairs = candidate_pairs(blocks, cfg_b).materialize()
+    assert pairs.count() == 30 * 29 // 2  # small block → all pairs
+    e_b = sorted((r["u"], r["v"], round(r["score"], 9))
+                 for r in verify_edges(pairs, feats, cfg_b).take_all())
+    e_j = sorted((r["u"], r["v"], round(r["score"], 9))
+                 for r in verify_edges(pairs, feats, cfg_j).take_all())
+    assert e_b == e_j
+    assert e_b  # the eq=1.0/0.7-vs-each-other pairs score above threshold
+
+
+def test_window_includes_spanning_chain():
+    """A block larger than the all-pairs cutoff still yields a connected
+    candidate graph: every consecutive (sigp-sorted = insertion-sorted here)
+    pair is a candidate."""
+    cfg = PipelineConfig()
+    n = 80  # > _ALL_PAIRS_MAX
+    members = [_rid(i) for i in range(n)]
+    blocks = _blocks([(777, members)])
+    cand = {(r["pu"], r["pv"]) for r in candidate_pairs(blocks, cfg).take_all()}
+    ids = sorted(int(m, 16) for m in members)
+    for a, b in zip(ids, ids[1:]):
+        assert (a, b) in cand
+    # degree-capped: far-apart pairs are not candidates
+    assert (ids[0], ids[-1]) not in cand
+    assert len(cand) < n * (n - 1) // 2
