@@ -65,7 +65,13 @@ class PipelineConfig:
 
     # --- scoring / clustering ---
     jaccard_threshold: float = 0.60   # shingle-Jaccard edge threshold (non-dups score ~0, minor edits ~0.7+)
-    stem_sim_threshold: float = 0.90  # Jaro-Winkler path-stem assist threshold
+    stem_sim_threshold: float = 0.90  # Jaro-Winkler path-stem assist threshold:
+                                      # pairs below jaccard_threshold but at/above
+                                      # rename_jaccard_floor become edges when
+                                      # their stems' JW similarity passes this
+    rename_jaccard_floor: float = 0.45  # content floor for the stem-JW assist
+                                        # (hard negatives estimate ~1/256/perm;
+                                        # 0.45 keeps them far out of reach)
 
     # --- pipeline shape ---
     collapse_exact_first: bool = False
@@ -83,6 +89,9 @@ class PipelineConfig:
                                       # key still shows up at ~size/div)
     driver_cc_max_edges: int = 5_000_000   # ≤ → driver union-find fast path
     broadcast_components_max: int = 2_000_000  # ≤ → broadcast cluster map
+    verify_broadcast_max_rows: int = 2_000_000  # candidate-involved rows ≤ →
+                                                # broadcast sig fetch; above →
+                                                # partitioned hash-join fetch
 
     # --- execution ---
     batch_size: int = 4096

@@ -104,7 +104,7 @@ def link_corpus(
     from localhost_address_matching_ray.stages.pairs import candidate_edges
 
     def _edges() -> ray.data.Dataset:
-        e = candidate_edges(blocks, config)
+        e = candidate_edges(blocks, features, config)
         return e.union(exact_edges) if exact_edges is not None else e
 
     near_edges = load_or_compute(ckpt, input_fingerprint, "edges", ver, _edges)

@@ -126,9 +126,15 @@ def find_hot_keys(block_sizes: ray.data.Dataset, config: PipelineConfig) -> dict
 
 
 class _PayloadEmitter:
-    """Pass 2: (block_key, bucket, row_id, sig8) with salting. Plain callable
-    used as a stateless task fn — the broadcast hot dict rides the object
-    store (``ray.get`` of the same ref is cached per worker)."""
+    """Pass 2: (block_key, bucket, row_id, sigp) with salting — KEY-ONLY
+    emission (candidates-then-verify: signatures are fetched for surviving
+    candidate pairs in a separate narrow pass, so the blocking shuffle ships
+    ~36 B per key emission instead of ~160 B with the folded signature).
+    ``sigp`` is the first 8 bytes of sig8 as one uint64 — a sort proxy that
+    makes exact-duplicate rows adjacent inside large blocks so the windowed
+    candidate generation finds them without all-pairs. Plain callable used as
+    a stateless task fn — the broadcast hot dict rides the object store
+    (``ray.get`` of the same ref is cached per worker)."""
 
     def __init__(self, config: PipelineConfig, hot_ref) -> None:
         self.config = config
@@ -145,7 +151,10 @@ class _PayloadEmitter:
         cfg = self.config
         idx, kh = _flat_hashes(batch)
         row_ids = batch["row_id"].to_pylist()
-        sigs = batch["sig8"].to_pylist()
+        sig8 = batch["sig8"].to_pylist()
+        sigp = np.frombuffer(
+            b"".join(s[:8] for s in sig8), dtype=">u8"
+        ).astype(np.uint64) if sig8 else np.empty(0, np.uint64)
 
         out_key: list[int] = []
         out_i: list[int] = []
@@ -172,13 +181,14 @@ class _PayloadEmitter:
             out_i = idx.tolist()
 
         key_arr = np.array(out_key, dtype=np.uint64)
+        i_arr = np.asarray(out_i, dtype=np.int64)
         return pa.table({
             "block_key": pa.array(key_arr, pa.uint64()),
             "bucket": pa.array(
                 (key_arr % np.uint64(cfg.census_buckets)).astype(np.int32), pa.int32()
             ),
             "row_id": pa.array([row_ids[i] for i in out_i], pa.string()),
-            "sig": pa.array([sigs[i] for i in out_i], pa.binary()),
+            "sigp": pa.array(sigp[i_arr] if len(i_arr) else sigp, pa.uint64()),
         })
 
 

@@ -183,45 +183,76 @@ def token_jaccard_pairs(
     )
 
 
-class _DocBandKeyer:
-    """Actor: MinHash LSH band keys for documents — KEY-ONLY emission.
+#: per-worker-process cache of doc hashing state (MinHash perm tables, token
+#: memo, lang-hash memo) — cheap state, so stateless tasks with a process
+#: cache beat an actor pool's process spin-up (round-1 lesson; 30 actors for
+#: a 3-batch dataset is pure overhead)
+_PROCESS_DOC_STATE: dict = {}
+
+_BK_P1 = np.uint64(0x9E3779B97F4A7C15)
+_BK_P2 = np.uint64(0xBF58476D1CE4E5B9)
+_BK_P3 = np.uint64(0x94D049BB133111EB)
+
+
+def _doc_band_keyer_factory(num_perm: int, bands: int, k: int):
+    """MinHash LSH band keys for documents — KEY-ONLY emission.
 
     The candidates-then-verify shape (flagship lesson, round 1: carrying
     signatures through the band shuffle multiplied the payload by the band
     count): each doc contributes ``bands`` rows of (doc_id, band_key uint64)
     — 16 B/row — and nothing else. Signatures never ride the shuffle;
     survivors are verified EXACTLY against their shingle sets in a second,
-    narrow pass over only the candidate docs.
+    narrow pass over only the candidate docs. Band keys are a vectorized
+    uint64 mix of (lang hash, band index, the band's r signature values) —
+    one numpy pass per batch instead of bands × sha1 per doc.
     """
+    import hashlib
 
-    def __init__(self, num_perm: int, bands: int, k: int) -> None:
-        self.mh = MinHasher(num_perm=num_perm)
-        self.th = TokenHasher()
-        self.bands = bands
-        self.k = k
+    skey = ("band", num_perm, k)
+    r = num_perm // bands
+    band_mix = (np.arange(bands, dtype=np.uint64) + np.uint64(1)) * _BK_P2
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import hashlib
-
-        ids, keys = [], []
-        for did, lg, t in zip(
-            batch["doc_id"].to_pylist(), batch["lang"].to_pylist(),
-            batch["text"].to_pylist(),
-        ):
+    def emit(batch: pa.Table) -> pa.Table:
+        st = _PROCESS_DOC_STATE.get(skey)
+        if st is None:
+            st = _PROCESS_DOC_STATE[skey] = {
+                "mh": MinHasher(num_perm=num_perm),
+                "th": TokenHasher(),
+                "langs": {},
+            }
+        mh, th, langc = st["mh"], st["th"], st["langs"]
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        n = len(texts)
+        S = np.empty((n, num_perm), dtype=np.uint64)
+        lh = np.empty(n, dtype=np.uint64)
+        for i, (t, lg) in enumerate(zip(texts, langs)):
             toks = normalize_content(t).split(" ")
-            sig = self.mh.signature(shingle_hashes(toks, self.k, self.th))
-            for bk in self.mh.band_keys(sig, self.bands):
-                ids.append(did)
-                # uint64 band-key hash: integer shuffles beat string sorts
-                keys.append(int.from_bytes(
-                    hashlib.sha1(f"{lg}|{bk}".encode()).digest()[:8], "big"
-                ))
-        kh = np.array(keys, dtype=np.uint64)
+            S[i] = mh.signature(shingle_hashes(toks, k, th))
+            v = langc.get(lg)
+            if v is None:
+                v = langc[lg] = int.from_bytes(
+                    hashlib.sha1(lg.encode()).digest()[:8], "big"
+                )
+            lh[i] = v
+        Sb = S.reshape(n, bands, r)
+        K = lh[:, None] * _BK_P3 ^ band_mix[None, :]
+        for j in range(r):
+            K = K ^ (Sb[:, :, j] + np.uint64(j + 1)) * _BK_P1
+        K = K ^ (K >> np.uint64(30))
+        K = K * _BK_P2
+        K = K ^ (K >> np.uint64(27))
+        kh = K.ravel()
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
+            "doc_id": pa.array(
+                np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), bands),
+                pa.int64(),
+            ),
             "band_key": pa.array(kh, pa.uint64()),
             "bucket": pa.array((kh % np.uint64(64)).astype(np.int32), pa.int32()),
         })
+
+    return emit
 
 
 def _distinct_pairs_bucket(group: pa.Table, key_col: str, max_band_rows: int = 4096) -> pa.Table:
@@ -312,12 +343,9 @@ def minhash_lsh_pairs(
     store; ``max_candidates`` bounds that driver/broadcast footprint the same
     way ``driver_cc_max_edges`` bounds the clustering stage.
     """
-    from localhost_address_matching_ray.config import default_pool_size
-
     band_rows = docs.select_columns(["doc_id", "lang", "text"]).map_batches(
-        _DocBandKeyer, fn_constructor_args=(num_perm, bands, shingle_k),
+        _doc_band_keyer_factory(num_perm, bands, shingle_k),
         batch_format="pyarrow", batch_size=2048,
-        concurrency=default_pool_size(concurrency), num_cpus=1,
     )
     cand = band_rows.groupby("bucket").map_groups(
         lambda g: _distinct_pairs_bucket(g, "band_key"), batch_format="pyarrow"
@@ -419,17 +447,23 @@ def simhash_pairs(
     (re-split runs on the remaining bits), which preserves exactness.
     """
 
-    class Hasher:
-        def __init__(self) -> None:
-            self.sh = SimHasher()
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def hasher(batch: pa.Table) -> pa.Table:
             import hashlib
 
-            hs = np.array([
-                self.sh.simhash(normalize_content(t).split(" "))
-                for t in batch["text"].to_pylist()
-            ], dtype=np.uint64)
+            st = _PROCESS_DOC_STATE.get("simhash")
+            if st is None:
+                st = _PROCESS_DOC_STATE["simhash"] = {"sh": SimHasher(), "langs": {}}
+            sh = st["sh"]
+            # batch simhash: concat token hashes + one reduceat pass
+            th_list, lens = [], []
+            for t in batch["text"].to_pylist():
+                toks = normalize_content(t).split(" ")
+                th_list.append(sh._hasher.hash_tokens(toks))
+                lens.append(len(toks))
+            hs = sh.simhash_batch(
+                np.concatenate(th_list) if th_list else np.empty(0, np.uint64),
+                np.asarray(lens, dtype=np.int64),
+            )
             ids = batch["doc_id"].to_numpy(zero_copy_only=False)
             langs = batch["lang"].to_pylist()
             lang_h = np.array([
@@ -458,11 +492,8 @@ def simhash_pairs(
                 "simhash": pa.array(np.concatenate(out_sh), pa.uint64()),
             })
 
-    from localhost_address_matching_ray.config import default_pool_size
-
     keyed = docs.select_columns(["doc_id", "lang", "text"]).map_batches(
-        Hasher, batch_format="pyarrow", batch_size=2048,
-        concurrency=default_pool_size(concurrency), num_cpus=1,
+        hasher, batch_format="pyarrow", batch_size=2048,
     )
 
     def verify_bucket(group: pa.Table) -> pa.Table:
