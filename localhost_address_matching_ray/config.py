@@ -105,6 +105,11 @@ class PipelineConfig:
     lang_configs: dict[str, LangConfig] = field(
         default_factory=lambda: dict(DEFAULT_LANG_CONFIGS)
     )
+    #: user regex-rewrite hook — ordered (pattern, replacement) pairs applied
+    #: at the end of content normalization AND before feature shingling (the
+    #: ``extra_rules`` analog, normalize_address.py:49,234-235). Load
+    #: lang_configs from a dimension file with sources.dimensions.
+    extra_rules: tuple[tuple[str, str], ...] = ()
 
     @property
     def rows_per_band(self) -> int:

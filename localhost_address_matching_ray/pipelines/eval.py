@@ -117,3 +117,56 @@ def explain_pair(result: dict[str, ray.data.Dataset], left_id: str, right_id: st
         and clus.get(left_id, {}).get("cluster_id") == clus.get(right_id, {}).get("cluster_id")
     )
     return report
+
+
+def suggest_matches(
+    result: dict[str, ray.data.Dataset], row_id: str, k: int = 5,
+    max_candidates: int = 10_000,
+) -> list[dict]:
+    """Ranked near-miss suggestions for one row — the analog of the static
+    parser's scored suggestion list (``test/test_static_parser.py:63-71``:
+    candidates scored by containment/prefix/common-token, top-k).
+
+    Candidates = rows sharing ANY blocking key with the target (the same
+    hierarchical key families the pipeline blocks on), scored by MinHash
+    Jaccard estimate + stem Jaro-Winkler, ranked on (est, jw, row_id).
+    Diagnostic only: one broadcast scan over the feature table."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from localhost_address_matching_ray.functions.similarity import jaro_winkler
+
+    feats = result["features"]
+    target = feats.map_batches(
+        lambda t: t.filter(pc.equal(t["row_id"], row_id)), batch_format="pyarrow"
+    ).take_all()
+    if not target:
+        return []
+    tgt = target[0]
+    tgt_hashes = np.asarray(tgt["block_hashes"], dtype=np.uint64)
+    tgt_sig = np.frombuffer(tgt["sig"], dtype=np.uint64)
+    key_arr = np.sort(tgt_hashes)
+
+    def sharing(t: pa.Table) -> pa.Table:
+        col = t["block_hashes"].combine_chunks()
+        kh = col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        lengths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+        pos = np.minimum(np.searchsorted(key_arr, kh), len(key_arr) - 1)
+        hit_flat = key_arr[pos] == kh
+        row_hit = np.zeros(t.num_rows, dtype=bool)
+        np.logical_or.at(row_hit, np.repeat(np.arange(t.num_rows), lengths), hit_flat)
+        return t.select(["row_id", "sig", "stem"]).filter(pa.array(row_hit))
+
+    cands = feats.map_batches(sharing, batch_format="pyarrow").take(max_candidates + 1)
+    scored = []
+    for r in cands:
+        if r["row_id"] == row_id:
+            continue
+        est = float((np.frombuffer(r["sig"], dtype=np.uint64) == tgt_sig).mean())
+        jw = jaro_winkler(tgt["stem"], r["stem"])
+        scored.append({
+            "row_id": r["row_id"], "stem": r["stem"],
+            "minhash_jaccard_est": est, "stem_jw": round(jw, 6),
+        })
+    scored.sort(key=lambda d: (-d["minhash_jaccard_est"], -d["stem_jw"], d["row_id"]))
+    return scored[:k]

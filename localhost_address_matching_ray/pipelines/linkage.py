@@ -50,7 +50,7 @@ def link_corpus(
 
     normalized = load_or_compute(
         ckpt, input_fingerprint, "normalized", ver,
-        lambda: normalize_corpus(corpus, config.batch_size),
+        lambda: normalize_corpus(corpus, config.batch_size, config.extra_rules),
     )
 
     if config.collapse_exact_first:

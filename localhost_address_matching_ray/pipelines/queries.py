@@ -675,41 +675,53 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY l.l_orderkey
 ORDER BY revenue DESC, o_orderkey LIMIT 10""",
-    "broadcast semi-join (small key set) + grouped agg + top-k",
+    "dimension broadcast (customer segment keys) + fact-fact partitioned "
+    "hash join (lineitem pre-agg × filtered orders) + top-k — neither fact "
+    "table is ever materialized on the driver",
 )
 def q3_top_orders(sf_dir: str) -> ray.data.Dataset:
     import pyarrow.parquet as pq
     import os
 
+    # dimension side: BUILDING custkeys, broadcast ONCE as a sorted int64
+    # array (searchsorted per batch — no per-batch set rebuild)
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )
-    building = set(
-        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
+    building = np.sort(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+        .to_numpy(zero_copy_only=False)
     )
-    orders = pq.read_table(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
-    )
-    keep_orders = set(
-        orders.filter(
-            pc.is_in(orders["o_custkey"], value_set=pa.array(sorted(building)))
-        )["o_orderkey"].to_pylist()
-    )
-    keys_ref = ray.put(keep_orders)
+    keys_ref = ray.put(building)
 
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def keep_building(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, ck), len(keys) - 1)
+        t = t.filter(pa.array(keys[pos] == ck))
+        return t.select(["o_orderkey"])
+
+    orders_b = orders.map_batches(keep_building, batch_format="pyarrow")
+
+    # fact side: pre-aggregate lineitem per order BEFORE the join, so the
+    # join's left side is |orders| rows, not |lineitem|
     li = read_table(sf_dir, "lineitem", columns=[
         "l_orderkey", "l_extendedprice", "l_discount",
     ])
 
-    def score(t: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = pc.is_in(t["l_orderkey"], value_set=pa.array(sorted(keys), pa.int64()))
-        t = t.filter(mask)
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"o_orderkey": t["l_orderkey"], "rev": rev})
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"], "rev": r})
 
-    agg = li.map_batches(score, batch_format="pyarrow").groupby("o_orderkey").aggregate(
+    li_agg = li.map_batches(rev, batch_format="pyarrow").groupby("o_orderkey").aggregate(
         Sum("rev", alias_name="revenue")
+    ).materialize()
+    agg = li_agg.join(
+        orders_b.materialize(), join_type="inner",
+        num_partitions=_join_parts(li_agg.count()), on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
     ).map_batches(lambda t: _round_col(t, "revenue", 2), batch_format="pyarrow")
     return agg.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
 
@@ -729,6 +741,10 @@ GROUP BY r.r_name""",
     "multi-dim broadcast join chain (region←nation←customer) + large join + agg",
 )
 def q5_region_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Broadcasts only the DIMENSION chain customer→nation→region (sorted
+    custkey array + region codes); the orders fact table is tagged in a
+    streaming pass and joined to the per-order lineitem pre-aggregate with a
+    partitioned hash join — no fact table ever builds a driver-side dict."""
     import pyarrow.parquet as pq
     import os
 
@@ -736,33 +752,60 @@ def q5_region_revenue(sf_dir: str) -> ray.data.Dataset:
     region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_nationkey"])
-    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
-                           columns=["o_orderkey", "o_custkey"])
     r_of_n = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
     n2r = {
         nk: r_of_n[rk]
         for nk, rk in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
     }
-    c2r = {
-        ck: n2r[nk]
-        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
-    }
-    o2r = {
-        ok: c2r[ck]
-        for ok, ck in zip(orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist())
-    }
-    map_ref = ray.put(o2r)
+    region_names = sorted(set(n2r.values()))
+    rcode_of = {name: i for i, name in enumerate(region_names)}
+    ckeys = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    order_c = np.argsort(ckeys)
+    c_sorted = ckeys[order_c]
+    c_rcode = np.array([
+        rcode_of[n2r[nk]] for nk in cust["c_nationkey"].to_numpy(zero_copy_only=False)
+    ], dtype=np.int32)[order_c]
+    dim_ref = ray.put({"ck": c_sorted, "rc": c_rcode})
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        d = ray.get(dim_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(d["ck"], ck)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "rcode": pa.array(d["rc"][pos], pa.int32()),
+        })
+
+    orders_r = orders.map_batches(tag_orders, batch_format="pyarrow")
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def tag(t: pa.Table) -> pa.Table:
-        m = ray.get(map_ref)
-        names = [m[k] for k in t["l_orderkey"].to_pylist()]
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"r_name": pa.array(names, pa.string()), "rev": rev})
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"], "rev": r})
 
-    return li.map_batches(tag, batch_format="pyarrow").groupby("r_name").aggregate(
-        Sum("rev", alias_name="revenue"), Count(alias_name="n_items")
+    # per-order pre-aggregate shrinks the join input from |lineitem| to |orders|
+    li_agg = li.map_batches(rev, batch_format="pyarrow").groupby("o_orderkey").aggregate(
+        Sum("rev", alias_name="rev"), Count(alias_name="n_items")
+    ).materialize()
+    joined = li_agg.join(
+        orders_r.materialize(), join_type="inner",
+        num_partitions=_join_parts(li_agg.count()), on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+    names_arr = pa.array(region_names, pa.string())
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": pc.take(names_arr, t["rcode"]),
+            "rev": t["rev"],
+            "n_items": t["n_items"],
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow").groupby("r_name").aggregate(
+        Sum("rev", alias_name="revenue"), Sum("n_items", alias_name="n_items")
     ).map_batches(lambda t: _round_col(t, "revenue", 2), batch_format="pyarrow")
 
 
@@ -1142,6 +1185,75 @@ def doc_token_spans(sf_dir: str) -> ray.data.Dataset:
         })
 
     return docs.map_batches(spans, batch_format="pyarrow", batch_size=4096)
+
+
+@register(
+    "doc_entity_tags",
+    r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tl FROM documents),
+tok AS (
+  SELECT doc_id, unnest(tl) AS tok, generate_subscripts(tl, 1) AS pos FROM toks),
+typ AS (
+  SELECT doc_id, pos, tok,
+    CASE WHEN regexp_matches(tok, '^[0-9]+$') THEN 'NUM'
+         WHEN regexp_matches(tok, '^https?://') THEN 'URL'
+         WHEN regexp_matches(tok, '^[^@\s]+@[^@\s]+\.[^@\s]+$') THEN 'EMAIL'
+         WHEN regexp_matches(tok, '^[A-Z][A-Z0-9_]{2,}$') THEN 'CONST'
+         WHEN regexp_matches(tok, '^[a-z]+([A-Z][a-z0-9]*)+$') THEN 'CAMEL'
+         ELSE 'O' END AS typ
+  FROM tok),
+bio AS (
+  SELECT doc_id, pos, tok, typ,
+    CASE WHEN typ = 'O' THEN 'O'
+         WHEN lag(typ) OVER w IS NOT DISTINCT FROM typ THEN 'I-' || typ
+         ELSE 'B-' || typ END AS tag,
+    CASE WHEN typ <> 'O' AND (lag(typ) OVER w IS DISTINCT FROM typ)
+         THEN 1 ELSE 0 END AS is_b
+  FROM typ WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+ent AS (
+  SELECT doc_id, pos, tok, typ,
+         sum(is_b) OVER (PARTITION BY doc_id ORDER BY pos) AS eid
+  FROM bio),
+ents AS (
+  SELECT doc_id, eid, min(typ) AS typ,
+         string_agg(tok, ' ' ORDER BY pos) AS etext, min(pos) AS fpos
+  FROM ent WHERE typ <> 'O' GROUP BY doc_id, eid),
+agg1 AS (
+  SELECT doc_id, string_agg(tag, ' ' ORDER BY pos) AS pred_tags,
+         CAST(sum(is_b) AS BIGINT) AS n_entities
+  FROM bio GROUP BY doc_id),
+agg2 AS (
+  SELECT doc_id, string_agg(typ || '=' || etext, ' | ' ORDER BY fpos) AS entities_flat
+  FROM ents GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(a1.pred_tags, '') AS pred_tags,
+  CAST(coalesce(a1.n_entities, 0) AS BIGINT) AS n_entities,
+  coalesce(a2.entities_flat, '') AS entities_flat
+FROM documents d
+LEFT JOIN agg1 a1 USING (doc_id) LEFT JOIN agg2 a2 USING (doc_id)""",
+    "M13/M14/M15: rule-based entity tagger (actor-pool heavy-state stage — "
+    "the NER CLI analog, ner_address_parser.py:44-128): token classify → "
+    "span aggregate → span→BIO overlap join → flat projection, all with an "
+    "exact SQL mirror",
+)
+def doc_entity_tags(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.tagger import tag_documents
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return tag_documents(docs).select_columns(
+        ["doc_id", "pred_tags", "n_entities", "entities_flat"]
+    )
+
+
+@register("doc_entity_spans", None,
+          "M14 entity spans as native Arrow list<struct<type,text,start,end>> "
+          "(nested output → rows-only check)")
+def doc_entity_spans(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.tagger import tag_documents
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return tag_documents(docs).select_columns(["doc_id", "entities"])
 
 
 @register(

@@ -61,6 +61,8 @@ class FeatureExtractor:
     batch (`map_batches(FeatureExtractor, concurrency=N)`)."""
 
     def __init__(self, config: PipelineConfig) -> None:
+        import re
+
         self.config = config
         self.minhasher = MinHasher(num_perm=config.num_perm)
         self.simhasher = SimHasher()
@@ -69,12 +71,19 @@ class FeatureExtractor:
         self._stops = {
             lang: frozenset(lc.stop_tokens) for lang, lc in config.lang_configs.items()
         }
+        # user rewrite hook, compiled once per actor (A4 pattern)
+        self._extra_rules = [
+            (re.compile(p), r) for p, r in config.extra_rules
+        ]
 
     def _doc_tokens(self, content: str, lang: str) -> list[str]:
         lc = self.lang_configs.get(lang)
         if lc is not None and lc.comment_styles:
             content = strip_comments(content, lc.comment_styles)
-        toks = tokenize(normalize_content(content))
+        norm = normalize_content(content)
+        for rx, repl in self._extra_rules:
+            norm = rx.sub(repl, norm)
+        toks = tokenize(norm)
         stops = self._stops.get(lang)
         if stops:
             toks = strip_stop_tokens(toks, stops)
@@ -143,7 +152,7 @@ _PROCESS_EXTRACTORS: dict = {}
 def _config_cache_key(config: PipelineConfig) -> tuple:
     return (
         config.num_perm, config.lsh_bands, config.shingle_k,
-        config.pipeline_version,
+        config.pipeline_version, config.extra_rules,
         tuple(sorted(config.lang_configs.items())),
     )
 

@@ -30,14 +30,40 @@ from localhost_address_matching_ray.functions.normalize import (
 )
 
 
-def _normalize_batch(batch: pa.Table) -> pa.Table:
+#: per-process cache of compiled user rule lists (keyed by the rules tuple)
+_COMPILED_RULES: dict = {}
+
+
+def _apply_extra_rules(norm: list[str], extra_rules) -> list[str]:
+    """User regex-rewrite hook applied at the END of the normalize chain —
+    the ``extra_rules: List[(Pattern, repl)]`` analog
+    (``normalize_address.py:49, 234-235``). Patterns compile once per worker
+    process; rules run in order over the whitespace-normalized content."""
+    if not extra_rules:
+        return norm
+    import re
+
+    compiled = _COMPILED_RULES.get(extra_rules)
+    if compiled is None:
+        compiled = _COMPILED_RULES[extra_rules] = [
+            (re.compile(p), r) for p, r in extra_rules
+        ]
+    out = []
+    for text in norm:
+        for rx, repl in compiled:
+            text = rx.sub(repl, text)
+        out.append(text)
+    return out
+
+
+def _normalize_batch(batch: pa.Table, extra_rules=()) -> pa.Table:
     repos = batch["repo"].to_pylist()
     paths = batch["path"].to_pylist()
     commits = batch["commit"].to_pylist()
     contents = batch["content"].to_pylist()
 
     canon = canonicalize_path_array(paths)
-    norm = normalize_content_array(contents)
+    norm = _apply_extra_rules(normalize_content_array(contents), extra_rules)
     return (
         batch
         .append_column("row_id", pa.array(row_id_array(repos, paths, commits), pa.string()))
@@ -52,5 +78,18 @@ def _normalize_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def normalize_corpus(corpus: ray.data.Dataset, batch_size: int = 4096) -> ray.data.Dataset:
+def normalize_corpus(
+    corpus: ray.data.Dataset,
+    batch_size: int = 4096,
+    extra_rules: tuple[tuple[str, str], ...] = (),
+) -> ray.data.Dataset:
+    """``extra_rules`` — ordered user (pattern, replacement) pairs applied to
+    the normalized content before hashing/tokenizing (§2.10 extension
+    surface). Default empty keeps exact oracle parity."""
+    if extra_rules:
+        rules = tuple(tuple(r) for r in extra_rules)
+        return corpus.map_batches(
+            lambda t: _normalize_batch(t, rules),
+            batch_format="pyarrow", batch_size=batch_size,
+        )
     return corpus.map_batches(_normalize_batch, batch_format="pyarrow", batch_size=batch_size)

@@ -86,6 +86,23 @@ def test_explain_pair(linkage_result, small_fixture_tables):
     assert "same_cluster" in rep and rep[lp["left_id"][0]]["stem"] is not None
 
 
+def test_suggest_matches(linkage_result, small_fixture_tables):
+    """Ranked near-miss suggestions: a matched pair's partner appears in the
+    suggestion list, ranked by similarity (test_static_parser.py:63-71
+    analog)."""
+    from localhost_address_matching_ray.pipelines.eval import suggest_matches
+
+    lp = small_fixture_tables["labeled_pairs"].to_pydict()
+    i = lp["is_match"].index(True)
+    left, right = lp["left_id"][i], lp["right_id"][i]
+    sugg = suggest_matches(linkage_result, left, k=5)
+    assert sugg and all(
+        s["minhash_jaccard_est"] >= sugg[-1]["minhash_jaccard_est"] for s in sugg
+    )
+    assert any(s["row_id"] == right for s in sugg)
+    assert suggest_matches(linkage_result, "nonexistent-row", k=3) == []
+
+
 def test_salting_path_clusters_hot_key():
     """A giant exact-dup cluster above max_block_rows still comes out as one
     cluster (rep-bridge correctness), via the salted sub-block path."""
