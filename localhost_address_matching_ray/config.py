@@ -56,11 +56,13 @@ class PipelineConfig:
 
     # --- blocking / skew ---
     max_block_rows: int = 512    # blocks above this are salted into sub-blocks
-    max_pairs_per_block: int = 200_000  # hard O(k²) guard; overflow is logged
-    max_edges_per_row_per_block: int = 8  # degree cap: a spanning subset of a
-                                          # near-clique's edges is enough for
-                                          # transitive clustering; full O(k²)
-                                          # emission only bloats the CC input
+    candidate_window: int = 16   # candidate pairs per row per block = the
+                                 # following `window` rows in sigp-sorted
+                                 # order (all pairs when block ≤ window+1);
+                                 # offset 1 is the spanning chain, so the
+                                 # window bounds EXTRA edges, never
+                                 # connectivity. Bounds per-block pairs at
+                                 # k·window — the O(k²) guard by construction
     salt_buckets: int = 8        # sub-blocks per hot key
 
     # --- scoring / clustering ---
@@ -84,14 +86,24 @@ class PipelineConfig:
 
     # --- scale-adaptive machinery ---
     census_buckets: int = 64          # low-cardinality bucket groupby width
-    census_sample_div: int = 4        # census samples 1/div of rows (it only
-                                      # feeds hot-key detection: a >max_block
-                                      # key still shows up at ~size/div)
+    census_sample_div: int = 4        # census samples 1/div of rows when it
+                                      # only feeds hot-key detection (a
+                                      # >max_block key still shows up at
+                                      # ~size/div); unused when
+                                      # singleton_suppression forces an
+                                      # exact census
+    singleton_suppression: bool = True  # exact census + broadcast multi-key
+                                        # set: singleton block emissions
+                                        # never enter the blocking shuffle
     driver_cc_max_edges: int = 5_000_000   # ≤ → driver union-find fast path
     broadcast_components_max: int = 2_000_000  # ≤ → broadcast cluster map
     verify_broadcast_max_rows: int = 2_000_000  # candidate-involved rows ≤ →
                                                 # broadcast sig fetch; above →
                                                 # partitioned hash-join fetch
+    pairs_collect_max: int = 20_000_000  # raw candidate pairs ≤ → one driver
+                                         # collect + np.unique dedup (16 B/
+                                         # pair); above → bucketed shuffle
+                                         # dedup + join-fetch verify
 
     # --- execution ---
     batch_size: int = 4096

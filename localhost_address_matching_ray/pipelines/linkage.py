@@ -21,6 +21,7 @@ from localhost_address_matching_ray.stages.blocking import (
     block_size_census,
     emit_block_rows,
     find_hot_keys,
+    find_multi_keys,
 )
 from localhost_address_matching_ray.stages.cluster import assign_clusters, connected_components
 from localhost_address_matching_ray.stages.dedup import split_reps_and_edges, tag_exact_groups
@@ -94,12 +95,21 @@ def link_corpus(
         # (content-free, rep-only) feature table instead of recomputing it.
         features = features.materialize()
 
-    sizes = block_size_census(features, config)
-    hot = find_hot_keys(sizes, config)
+    if config.singleton_suppression:
+        # exact census: doubles as the multi-row-key finder, so singleton
+        # emissions (the vast majority) never enter the blocking shuffle
+        sizes = block_size_census(features, config, sample_div=1).materialize()
+        hot = find_hot_keys(sizes, config)
+        multi = find_multi_keys(sizes)
+        metrics.count("blocking", "multi_keys", len(multi))
+    else:
+        sizes = block_size_census(features, config)
+        hot = find_hot_keys(sizes, config)
+        multi = None
     metrics.count("blocking", "hot_keys", len(hot))
     metrics.count("blocking", "hot_rows", sum(hot.values()))
 
-    blocks = emit_block_rows(features, config, hot)
+    blocks = emit_block_rows(features, config, hot, multi)
 
     from localhost_address_matching_ray.stages.pairs import candidate_edges
 

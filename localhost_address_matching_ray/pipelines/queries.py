@@ -1121,6 +1121,17 @@ def embedding_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
     return lsh_cosine_pairs(emb, threshold=0.45, n_planes=12, n_tables=16)
 
 
+@register("embedding_ivf_pairs", None,
+          "IVF (spherical k-means cells + multi-probe) cosine near-dup pairs "
+          "— the scale structure for low thresholds where hyperplane LSH "
+          "degenerates; exact precision, approximate recall → rows-only")
+def embedding_ivf_pairs(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.ann import ivf_cosine_pairs
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_cosine_pairs(emb, threshold=0.45, n_cells=32, n_probe=4)
+
+
 @register(
     "corpus_parse_paths",
     _NORM_CTE + r"""

@@ -245,3 +245,98 @@ def lsh_cosine_pairs(
 
     raw = buckets.groupby("bucket_key").map_groups(verify_bucket, batch_format="pyarrow")
     return raw.groupby(["u", "v"]).aggregate(Max("score", alias_name="score"))
+
+
+def _spherical_kmeans(sample: np.ndarray, n_cells: int, iters: int = 8,
+                      seed: int = 211) -> np.ndarray:
+    """Deterministic spherical k-means on a (driver-side) sample — the IVF
+    coarse quantizer. Rows are L2-normalized; centroids renormalized each
+    Lloyd step; empty cells re-seeded from the sample."""
+    rng = np.random.RandomState(seed)
+    s = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    idx = rng.choice(len(s), size=min(n_cells, len(s)), replace=False)
+    cent = s[idx].copy()
+    for _ in range(iters):
+        assign = (s @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = s[assign == c]
+            if len(members) == 0:
+                cent[c] = s[rng.randint(len(s))]
+            else:
+                m = members.sum(axis=0)
+                cent[c] = m / np.maximum(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def ivf_cosine_pairs(
+    embeddings: ray.data.Dataset,
+    threshold: float,
+    n_cells: int = 32,
+    n_probe: int = 4,
+    sample_cap: int = 8192,
+    seed: int = 211,
+) -> ray.data.Dataset:
+    """IVF-bucketed cosine near-dup pairs — the scale structure for LOW
+    thresholds, where hyperplane LSH degenerates (a plane agrees on a
+    cos≥0.45 pair only ~65% of the time; see :func:`lsh_cosine_pairs`).
+
+    Coarse-quantize with spherical k-means (deterministic seed, driver-side
+    sample), assign every vector to its ``n_probe`` nearest cells
+    (multi-probe: a near pair straddling a cell boundary still co-occurs in
+    some probed cell), verify candidates with the exact rounded cosine per
+    cell. Cost: O(rows·n_probe) emission + per-cell pairwise; expected cell
+    occupancy rows·n_probe/n_cells — tune n_cells ∝ √rows. Approximate
+    recall (empirically ≈1 at moderate thresholds), exact precision —
+    rows-only checked, with the brute-force cross-check in tests.
+    """
+    from ray.data.aggregate import Max
+
+    sample_ds = embeddings.select_columns(["vec_id", "embedding"]).limit(sample_cap)
+    sample_tbl = pa.concat_tables(ray.get(sample_ds.to_arrow_refs()))
+    dim = len(sample_tbl["embedding"][0])
+    cent = _spherical_kmeans(_emb_matrix(sample_tbl), n_cells, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _emb_matrix(batch)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = mn @ c.T
+        p = min(n_probe, sims.shape[1])
+        cells = np.argsort(-sims, axis=1, kind="stable")[:, :p]
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        vec_bytes = [m[i].astype(np.float32).tobytes() for i in range(len(ids))]
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, p), pa.int64()),
+            "cell": pa.array(cells.ravel().astype(np.int32), pa.int32()),
+            "vec": pa.array([vec_bytes[i] for i in np.repeat(np.arange(len(ids)), p)],
+                            pa.binary()),
+        })
+
+    assigned = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow", batch_size=4096
+    )
+
+    def verify_cell(group: pa.Table) -> pa.Table:
+        k = group.num_rows
+        empty = pa.table({
+            "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        })
+        if k < 2:
+            return empty
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        m = np.frombuffer(b"".join(group["vec"].to_pylist()), dtype=np.float32)
+        m = m.reshape(k, dim).astype(np.float64)
+        sims = _cosine_matrix(m, m)
+        iu = np.triu_indices(k, 1)
+        mask = (sims[iu] >= threshold) & (ids[iu[0]] != ids[iu[1]])
+        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+        return pa.table({
+            "u": pa.array(np.minimum(a, b), pa.int64()),
+            "v": pa.array(np.maximum(a, b), pa.int64()),
+            "score": pa.array(sims[iu][mask], pa.float64()),
+        })
+
+    raw = assigned.groupby("cell").map_groups(verify_cell, batch_format="pyarrow")
+    return raw.groupby(["u", "v"]).aggregate(Max("score", alias_name="score"))

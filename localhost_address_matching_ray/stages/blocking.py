@@ -125,6 +125,27 @@ def find_hot_keys(block_sizes: ray.data.Dataset, config: PipelineConfig) -> dict
     return {int(r["kh"]): int(r["n"]) for r in hot}
 
 
+def find_multi_keys(block_sizes: ray.data.Dataset) -> np.ndarray:
+    """Sorted uint64 array of keys with ≥ 2 rows — requires an EXACT census
+    (``sample_div=1``): a sampled census misses most small multi-row keys.
+
+    Most key emissions land in singleton blocks (unique band hashes) that
+    the pair stage drops AFTER the shuffle; broadcasting the multi-key set
+    (8 B/key, O(duplicate rows) entries) lets the payload emitter drop them
+    BEFORE it, shrinking the blocking shuffle by the singleton fraction."""
+    tbls = [
+        t for t in ray.get(
+            block_sizes.filter(expr="n >= 2").to_arrow_refs()
+        )
+        if t.num_rows > 0 and "kh" in t.column_names
+    ]
+    if not tbls:
+        return np.empty(0, dtype=np.uint64)
+    return np.sort(np.concatenate([
+        t["kh"].to_numpy(zero_copy_only=False).astype(np.uint64) for t in tbls
+    ]))
+
+
 class _PayloadEmitter:
     """Pass 2: (block_key, bucket, row_id, sigp) with salting — KEY-ONLY
     emission (candidates-then-verify: signatures are fetched for surviving
@@ -136,16 +157,24 @@ class _PayloadEmitter:
     a stateless task fn — the broadcast hot dict rides the object store
     (``ray.get`` of the same ref is cached per worker)."""
 
-    def __init__(self, config: PipelineConfig, hot_ref) -> None:
+    def __init__(self, config: PipelineConfig, hot_ref, multi_ref=None) -> None:
         self.config = config
         self._hot_ref = hot_ref
         self._hot: dict[int, int] | None = None
+        self._multi_ref = multi_ref
+        self._multi: np.ndarray | None = None
 
     @property
     def hot(self) -> dict[int, int]:
         if self._hot is None:
             self._hot = ray.get(self._hot_ref) if self._hot_ref is not None else {}
         return self._hot
+
+    @property
+    def multi(self) -> "np.ndarray | None":
+        if self._multi is None and self._multi_ref is not None:
+            self._multi = ray.get(self._multi_ref)
+        return self._multi
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.config
@@ -155,6 +184,16 @@ class _PayloadEmitter:
         sigp = np.frombuffer(
             b"".join(s[:8] for s in sig8), dtype=">u8"
         ).astype(np.uint64) if sig8 else np.empty(0, np.uint64)
+        multi = self.multi
+        if multi is not None and len(kh):
+            # singleton-block suppression: only keys the exact census saw
+            # ≥2 times enter the shuffle
+            if len(multi):
+                pos = np.minimum(np.searchsorted(multi, kh), len(multi) - 1)
+                keep = multi[pos] == kh
+            else:
+                keep = np.zeros(len(kh), dtype=bool)
+            idx, kh = idx[keep], kh[keep]
 
         out_key: list[int] = []
         out_i: list[int] = []
@@ -196,14 +235,18 @@ def emit_block_rows(
     features: ray.data.Dataset,
     config: PipelineConfig,
     hot_keys: dict[int, int] | None = None,
+    multi_keys: np.ndarray | None = None,
 ) -> ray.data.Dataset:
-    """Pass 2: payload block rows, salted per ``hot_keys``. Singleton blocks
-    are dropped vectorized inside the pair stage's bucket groups — they never
-    cost per-group Python calls."""
+    """Pass 2: payload block rows, salted per ``hot_keys``. With
+    ``multi_keys`` (from an exact census), singleton-block emissions are
+    dropped BEFORE the shuffle; without it, they are dropped vectorized
+    inside the pair stage's bucket groups — either way they never cost
+    per-group Python calls."""
     hot_ref = ray.put(hot_keys or {})
+    multi_ref = ray.put(multi_keys) if multi_keys is not None else None
     return features.select_columns(
         ["row_id", "sig8", "block_hashes"]
     ).map_batches(
-        _PayloadEmitter(config, hot_ref),
+        _PayloadEmitter(config, hot_ref, multi_ref),
         batch_format="pyarrow", batch_size=config.batch_size,
     )

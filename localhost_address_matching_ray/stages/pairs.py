@@ -55,15 +55,16 @@ _EMPTY_EDGES = {
     "score": pa.array([], pa.float64()),
 }
 
+_EMPTY_SCORED = {
+    "pu": pa.array([], pa.uint64()),
+    "pv": pa.array([], pa.uint64()),
+    "score": pa.array([], pa.float64()),
+}
+
 _EMPTY_PAIRS = {
     "pu": pa.array([], pa.uint64()),
     "pv": pa.array([], pa.uint64()),
 }
-
-#: blocks at or below this row count emit every pair (k·(k−1)/2 ≤ 1128);
-#: larger blocks use the sigp-sorted window
-_ALL_PAIRS_MAX = 48
-
 
 def _hex16_to_u64(ids: list[str]) -> np.ndarray:
     """row_id (16 hex chars, sha256 prefix) → uint64; big-endian view keeps
@@ -76,51 +77,41 @@ def _u64_to_hex(vals: np.ndarray) -> list[str]:
 
 
 def _candidate_pairs_factory(config: PipelineConfig):
-    max_pairs = config.max_pairs_per_block
-    cap = config.max_edges_per_row_per_block
+    window = config.candidate_window
 
     def pairs_bucket(group: pa.Table) -> pa.Table:
+        """One 64-way bucket of block rows → candidate pairs, with NO
+        per-block Python loop: after one lexsort by (block_key, sigp, id),
+        candidates are the window-offset positions ``(i, i+off)``,
+        off = 1..window, that share a block — ``window`` vectorized passes
+        over the whole bucket instead of a Python call per block (buckets
+        hold ~10⁴-10⁵ tiny blocks; per-block overhead was the stage's cost).
+
+        Semantics per block of size k: all pairs when k ≤ window+1, the
+        window of following rows per row otherwise. Offset 1 is the spanning
+        chain (block candidate graph connected by construction); offsets ≥ 2
+        are suppressed inside equal-sigp runs (exact/near-identical content,
+        adjacent after the sort, already chain-connected). Candidates per
+        block are ≤ k·window by construction — no separate overflow cap
+        needed (salting bounds k itself)."""
         n = group.num_rows
         if n < 2:
             return pa.table(_EMPTY_PAIRS)
         kh = group["block_key"].to_numpy(zero_copy_only=False)
         sigp = group["sigp"].to_numpy(zero_copy_only=False)
         ids = _hex16_to_u64(group["row_id"].to_pylist())
-        # sort: blocks contiguous; within a block, sigp groups exact dups
         order = np.lexsort((ids, sigp, kh))
-        kh = kh[order]; ids = ids[order]
-        bounds = np.flatnonzero(np.diff(kh)) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [n]))
+        kh = kh[order]; ids = ids[order]; sigp = sigp[order]
         chunks: list[np.ndarray] = []
-        for s, e in zip(starts, ends):
-            k = e - s
-            if k < 2:
-                continue  # singleton block — vectorized skip
-            if k * (k - 1) // 2 > max_pairs and k > _ALL_PAIRS_MAX:
-                keep = max(_ALL_PAIRS_MAX, int((2 * max_pairs) ** 0.5) + 1)
-                if k > keep * 4 // 3:  # window already bounds pair count;
-                    # only truly pathological blocks (post-salting residue)
-                    # are truncated
-                    logger.warning(
-                        "block overflow: %d rows -> %d kept (pair cap %d)",
-                        k, keep, max_pairs,
-                    )
-                    e = s + keep
-                    k = keep
-            bids = ids[s:e]
-            if k <= _ALL_PAIRS_MAX:
-                iu, jv = np.triu_indices(k, 1)
-                a, b = bids[iu], bids[jv]
-            else:
-                # windowed candidates over the sigp-sorted order: offsets
-                # 1..cap — includes the i→i+1 spanning chain at offset 1
-                aa, bb = [], []
-                for off in range(1, min(cap, k - 1) + 1):
-                    aa.append(bids[:-off]); bb.append(bids[off:])
-                a, b = np.concatenate(aa), np.concatenate(bb)
-            keep_mask = a != b
-            a, b = a[keep_mask], b[keep_mask]
+        for off in range(1, min(window, n - 1) + 1):
+            same = kh[:-off] == kh[off:]
+            if off > 1:
+                same = same & (sigp[:-off] != sigp[off:])
+            if not same.any():
+                continue
+            a, b = ids[:-off][same], ids[off:][same]
+            ne = a != b
+            a, b = a[ne], b[ne]
             lo, hi = np.minimum(a, b), np.maximum(a, b)
             chunks.append(np.stack([lo, hi], axis=1))
         if not chunks:
@@ -134,8 +125,20 @@ def _candidate_pairs_factory(config: PipelineConfig):
     return pairs_bucket
 
 
+_PB_P1 = np.uint64(0x9E3779B97F4A7C15)
+_PB_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
 def candidate_pairs(blocks: ray.data.Dataset, config: PipelineConfig) -> ray.data.Dataset:
-    """Key-only blocking rows → distinct-in-bucket candidate pairs (uint64)."""
+    """Key-only blocking rows → in-bucket-distinct candidate pairs (uint64).
+
+    Pairs are deduped within each blocking bucket (np.unique over the
+    bucket's blocks); the residual cross-bucket duplicates (the same pair
+    arising in key-family blocks that hash to different buckets) are scored
+    redundantly — scoring is a vectorized byte compare, far cheaper than an
+    extra all-to-all dedup shuffle of the full candidate stream — and
+    collapsed on the much smaller verified EDGE stream in
+    :func:`candidate_edges`."""
     return blocks.groupby("bucket").map_groups(
         _candidate_pairs_factory(config), batch_format="pyarrow"
     )
@@ -291,28 +294,93 @@ def _verify_join(
     return j2.map_batches(score, batch_format="pyarrow")
 
 
+def _distinct_pairs_shuffle(
+    pairs: ray.data.Dataset, buckets: int
+) -> ray.data.Dataset:
+    """Distributed pair dedup: pair-hash bucket groupby + in-bucket
+    np.unique (used only above the driver-collect ceiling)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("pb", pa.array([], pa.int32()))
+        pu = t["pu"].to_numpy(zero_copy_only=False)
+        pv = t["pv"].to_numpy(zero_copy_only=False)
+        pb = ((pu * _PB_P1 ^ pv * _PB_P2) % np.uint64(buckets)).astype(np.int32)
+        return t.append_column("pb", pa.array(pb, pa.int32()))
+
+    def dedup(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(_EMPTY_PAIRS)
+        arr = np.unique(np.stack([
+            g["pu"].to_numpy(zero_copy_only=False),
+            g["pv"].to_numpy(zero_copy_only=False),
+        ], axis=1), axis=0)
+        return pa.table({
+            "pu": pa.array(arr[:, 0], pa.uint64()),
+            "pv": pa.array(arr[:, 1], pa.uint64()),
+        })
+
+    return pairs.map_batches(tag, batch_format="pyarrow").groupby("pb").map_groups(
+        dedup, batch_format="pyarrow"
+    )
+
+
+def _pairs_dataset(arr: np.ndarray) -> ray.data.Dataset:
+    """(n, 2) uint64 → a Dataset split into multiple blocks so scoring
+    parallelizes (a single from_arrow table would be one block = one task)."""
+    n = len(arr)
+    step = max(65536, -(-n // 64))
+    tables = [
+        pa.table({
+            "pu": pa.array(arr[i : i + step, 0], pa.uint64()),
+            "pv": pa.array(arr[i : i + step, 1], pa.uint64()),
+        })
+        for i in range(0, n, step)
+    ]
+    return ray.data.from_arrow(tables)
+
+
 def verify_edges(
     pairs: ray.data.Dataset, features: ray.data.Dataset, config: PipelineConfig,
 ) -> ray.data.Dataset:
-    """Candidate pairs (uint64) → thresholded edges (u, v, score)."""
+    """Candidate pairs (uint64, cross-bucket duplicates allowed) →
+    thresholded DISTINCT edges (u, v, score).
+
+    A high-similarity pair collides in most LSH bands, so the raw candidate
+    stream carries ~#colliding-bands copies of it. Below
+    ``pairs_collect_max`` the stream is collected once (16 B/pair — the same
+    driver ceiling philosophy as ``driver_cc_max_edges``), deduped with one
+    np.unique, and re-sharded for scoring; that single collect replaces two
+    all-to-all dedup shuffles (pair-level and edge-level). Above the ceiling
+    the dedup runs as a bucketed shuffle and scoring fetches via joins."""
     pairs = pairs.materialize()
-    ptbls = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows > 0]
-    if not ptbls:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return ray.data.from_arrow(pa.table(_EMPTY_EDGES))
-    involved = np.unique(np.concatenate([
-        np.concatenate([
+    if n_pairs > config.pairs_collect_max:
+        logger.info(
+            "verify_edges: %d raw pairs > collect ceiling %d — shuffle dedup + join fetch",
+            n_pairs, config.pairs_collect_max,
+        )
+        distinct = _distinct_pairs_shuffle(pairs, config.census_buckets)
+        return _verify_join(distinct, features, config)
+    ptbls = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows > 0]
+    arr = np.unique(np.concatenate([
+        np.stack([
             t["pu"].to_numpy(zero_copy_only=False),
             t["pv"].to_numpy(zero_copy_only=False),
-        ])
+        ], axis=1)
         for t in ptbls
-    ]))
+    ]), axis=0)
+    involved = np.unique(arr)
+    distinct = _pairs_dataset(arr)
     if len(involved) <= config.verify_broadcast_max_rows:
-        return _verify_broadcast(pairs, features, involved, config)
+        return _verify_broadcast(distinct, features, involved, config)
     logger.info(
         "verify_edges: %d involved rows > broadcast ceiling %d — join path",
         len(involved), config.verify_broadcast_max_rows,
     )
-    return _verify_join(pairs, features, config)
+    return _verify_join(distinct, features, config)
 
 
 def candidate_edges(
@@ -320,52 +388,7 @@ def candidate_edges(
     features: ray.data.Dataset,
     config: PipelineConfig,
 ) -> ray.data.Dataset:
-    """Bucketed candidate generation → narrow signature fetch → vectorized
-    verify → bucketed pair dedup (max score per (u, v))."""
-    raw = verify_edges(candidate_pairs(blocks, config), features, config)
-
-    buckets = config.census_buckets
-
-    def tag_pair_bucket(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t.append_column("pbucket", pa.array([], pa.int32()))
-        import hashlib
-
-        pb = [
-            int.from_bytes(hashlib.sha1(f"{u}|{v}".encode()).digest()[:4], "big") % buckets
-            for u, v in zip(t["u"].to_pylist(), t["v"].to_pylist())
-        ]
-        return t.append_column("pbucket", pa.array(pb, pa.int32()))
-
-    def dedup_bucket(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = group.select(["u", "v", "score"]).combine_chunks()
-        n = t.num_rows
-        if n == 0:
-            return pa.table(_EMPTY_EDGES)
-        order = pc.sort_indices(
-            t, sort_keys=[("u", "ascending"), ("v", "ascending")]
-        )
-        t = t.take(order).combine_chunks()
-        u, v = t["u"].chunk(0), t["v"].chunk(0)
-        # run boundaries over the sorted (u, v) pairs; per-run max via reduceat
-        if n > 1:
-            diff = pc.or_(
-                pc.not_equal(u.slice(1), u.slice(0, n - 1)),
-                pc.not_equal(v.slice(1), v.slice(0, n - 1)),
-            ).to_numpy(zero_copy_only=False)
-            starts = np.concatenate(([0], np.flatnonzero(diff) + 1))
-        else:
-            starts = np.array([0])
-        best = np.maximum.reduceat(t["score"].to_numpy(zero_copy_only=False), starts)
-        idx = pa.array(starts)
-        return pa.table({
-            "u": u.take(idx),
-            "v": v.take(idx),
-            "score": pa.array(best, pa.float64()),
-        })
-
-    return raw.map_batches(tag_pair_bucket, batch_format="pyarrow").groupby(
-        "pbucket"
-    ).map_groups(dedup_bucket, batch_format="pyarrow")
+    """Bucketed candidate generation → pair dedup (driver or shuffle) →
+    narrow signature fetch → vectorized verify. Pairs are distinct before
+    scoring, so the verified stream IS the final edge set."""
+    return verify_edges(candidate_pairs(blocks, config), features, config)

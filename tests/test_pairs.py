@@ -34,19 +34,22 @@ def _features(rows):
     }))
 
 
-def _blocks(pairs_of_ids):
-    """One block per (key, ids) entry; sigp=0 (sort proxy irrelevant here)."""
-    ks, ids = [], []
+def _blocks(pairs_of_ids, equal_sigp: bool = False):
+    """One block per (key, ids) entry. Default: distinct sigp per row (no
+    equal-sigp chain suppression); equal_sigp=True makes every row an
+    "exact dup" for the suppression tests."""
+    ks, ids, sps = [], [], []
     for key, members in pairs_of_ids:
-        for m in members:
+        for j, m in enumerate(members):
             ks.append(key)
             ids.append(m)
+            sps.append(0 if equal_sigp else int(m, 16))
     kh = np.array(ks, dtype=np.uint64)
     return ray.data.from_arrow(pa.table({
         "block_key": pa.array(kh, pa.uint64()),
         "bucket": pa.array((kh % np.uint64(64)).astype(np.int32), pa.int32()),
         "row_id": pa.array(ids, pa.string()),
-        "sigp": pa.array(np.zeros(len(ids), np.uint64), pa.uint64()),
+        "sigp": pa.array(np.array(sps, dtype=np.uint64), pa.uint64()),
     }))
 
 
@@ -85,14 +88,15 @@ def test_broadcast_and_join_fetch_agree():
     rng = np.random.RandomState(5)
     rows = []
     members = []
-    for i in range(30):
+    n = 17  # == candidate_window + 1 → all pairs
+    for i in range(n):
         eq = 1.0 if i % 3 == 0 else (0.7 if i % 3 == 1 else 0.1)
         rows.append((_rid(i), _sig(eq, 10 + i), f"stem{i}"))
         members.append(_rid(i))
     feats = _features(rows)
     blocks = _blocks([(999, members)])
     pairs = candidate_pairs(blocks, cfg_b).materialize()
-    assert pairs.count() == 30 * 29 // 2  # small block → all pairs
+    assert pairs.count() == n * (n - 1) // 2  # small block → all pairs
     e_b = sorted((r["u"], r["v"], round(r["score"], 9))
                  for r in verify_edges(pairs, feats, cfg_b).take_all())
     e_j = sorted((r["u"], r["v"], round(r["score"], 9))
@@ -103,10 +107,10 @@ def test_broadcast_and_join_fetch_agree():
 
 def test_window_includes_spanning_chain():
     """A block larger than the all-pairs cutoff still yields a connected
-    candidate graph: every consecutive (sigp-sorted = insertion-sorted here)
+    candidate graph: every consecutive (sigp-sorted = id-sorted here)
     pair is a candidate."""
     cfg = PipelineConfig()
-    n = 80  # > _ALL_PAIRS_MAX
+    n = 80  # > candidate_window + 1
     members = [_rid(i) for i in range(n)]
     blocks = _blocks([(777, members)])
     cand = {(r["pu"], r["pv"]) for r in candidate_pairs(blocks, cfg).take_all()}
@@ -116,3 +120,29 @@ def test_window_includes_spanning_chain():
     # degree-capped: far-apart pairs are not candidates
     assert (ids[0], ids[-1]) not in cand
     assert len(cand) < n * (n - 1) // 2
+
+
+def test_equal_sigp_chain_suppression():
+    """Rows with identical sigp (exact-dup runs) emit ONLY the spanning
+    chain — connectivity preserved, candidate count linear not quadratic."""
+    cfg = PipelineConfig()
+    n = 30
+    members = [_rid(i) for i in range(n)]
+    blocks = _blocks([(555, members)], equal_sigp=True)
+    cand = {(r["pu"], r["pv"]) for r in candidate_pairs(blocks, cfg).take_all()}
+    ids = sorted(int(m, 16) for m in members)
+    assert cand == {(a, b) for a, b in zip(ids, ids[1:])}
+
+
+def test_cross_bucket_pair_dedup():
+    """The same pair arising in two blocks that land in different buckets
+    is scored redundantly but collapsed to ONE edge in candidate_edges."""
+    cfg = PipelineConfig()
+    m = [_rid(0), _rid(1)]
+    blocks = _blocks([(100, m), (101, m)])  # 100%64=36, 101%64=37: two buckets
+    assert candidate_pairs(blocks, cfg).count() == 2  # cross-bucket dup
+    base = bytes([9] * 128)
+    feats = _features([(_rid(0), base, "s"), (_rid(1), base, "s")])
+    edges = candidate_edges(blocks, feats, cfg).take_all()
+    assert len(edges) == 1 and edges[0]["score"] == 1.0
+    assert {edges[0]["u"], edges[0]["v"]} == set(m)

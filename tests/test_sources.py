@@ -55,6 +55,23 @@ def test_csv_corpus_runs_through_pipeline(tmp_path):
     assert res["clusters"].count() == 2
 
 
+def test_ivf_cosine_pairs_matches_bruteforce():
+    """IVF multi-probe: exact precision (subset of brute force, identical
+    scores) and full recall on the sandbox embeddings."""
+    from localhost_address_matching_ray.sources.tables import read_table
+    from localhost_address_matching_ray.stages.ann import cosine_pairs, ivf_cosine_pairs
+
+    emb = read_table("/root/testdata/sf0.001", "embeddings",
+                     columns=["vec_id", "embedding"])
+    exact = {(r["u"], r["v"]): r["score"] for r in cosine_pairs(emb, 0.45).take_all()}
+    ivf = {(r["u"], r["v"]): r["score"]
+           for r in ivf_cosine_pairs(emb, 0.45, n_cells=16, n_probe=4).take_all()}
+    assert set(ivf) <= set(exact)
+    for k, s in ivf.items():
+        assert s == exact[k]
+    assert len(ivf) >= 0.9 * len(exact)
+
+
 def test_lsh_cosine_pairs_matches_bruteforce():
     from localhost_address_matching_ray.stages.ann import cosine_pairs, lsh_cosine_pairs
 
