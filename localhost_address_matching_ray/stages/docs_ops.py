@@ -33,6 +33,7 @@ from localhost_address_matching_ray.functions.hashing import (
 from localhost_address_matching_ray.functions.normalize import normalize_content
 from localhost_address_matching_ray.functions.similarity import duckdb_round
 from localhost_address_matching_ray.functions.text import quality_features
+from localhost_address_matching_ray.stages.pairs import _unique_pairs
 
 
 def doc_quality(docs: ray.data.Dataset) -> ray.data.Dataset:
@@ -296,7 +297,7 @@ def _distinct_pairs_bucket(group: pa.Table, key_col: str, max_band_rows: int = 4
         chunks.append(np.stack([a[keep], b[keep]], axis=1))
     if not chunks:
         return empty
-    pairs = np.unique(np.concatenate(chunks), axis=0)
+    pairs = _unique_pairs(np.concatenate(chunks).astype(np.uint64)).astype(np.int64)
     return pa.table({
         "u": pa.array(pairs[:, 0], pa.int64()),
         "v": pa.array(pairs[:, 1], pa.int64()),
@@ -313,7 +314,7 @@ def _collect_distinct_pairs(cand: ray.data.Dataset) -> np.ndarray:
     arr = np.stack([
         t["u"].to_numpy(zero_copy_only=False), t["v"].to_numpy(zero_copy_only=False)
     ], axis=1)
-    return np.unique(arr, axis=0)
+    return _unique_pairs(arr.astype(np.uint64)).astype(np.int64)
 
 
 def minhash_lsh_pairs(
@@ -532,7 +533,15 @@ def simhash_pairs(
             rec.append(np.stack([lo, hi, d[hit].astype(np.int64)], axis=1))
         if not rec:
             return empty
-        arr = np.unique(np.concatenate(rec), axis=0)
+        arr = np.concatenate(rec)
+        if len(arr) == 0:
+            return empty
+        order = np.lexsort((arr[:, 1], arr[:, 0]))
+        arr = arr[order]
+        keep = np.concatenate(
+            ([True], (arr[1:, :2] != arr[:-1, :2]).any(axis=1))
+        ) if len(arr) > 1 else np.array([True])
+        arr = arr[keep]
         return pa.table({
             "u": pa.array(arr[:, 0], pa.int64()),
             "v": pa.array(arr[:, 1], pa.int64()),
@@ -558,7 +567,17 @@ def simhash_pairs(
             g["v"].to_numpy(zero_copy_only=False),
             g["hamming"].to_numpy(zero_copy_only=False),
         ], axis=1)
-        arr = np.unique(arr, axis=0)
+        if len(arr) == 0:
+            return pa.table({
+                "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            })
+        order = np.lexsort((arr[:, 1], arr[:, 0]))
+        arr = arr[order]
+        keep = np.concatenate(
+            ([True], (arr[1:, :2] != arr[:-1, :2]).any(axis=1))
+        ) if len(arr) > 1 else np.array([True])
+        arr = arr[keep]
         return pa.table({
             "u": pa.array(arr[:, 0], pa.int64()),
             "v": pa.array(arr[:, 1], pa.int64()),

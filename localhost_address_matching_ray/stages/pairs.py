@@ -66,6 +66,25 @@ _EMPTY_PAIRS = {
     "pv": pa.array([], pa.uint64()),
 }
 
+def _unique_pairs(arr: np.ndarray) -> np.ndarray:
+    """Distinct rows of an (n, 2) uint64 pair array.
+
+    Sorts ONE mixed hash key (introsort on native u64 — ~3x faster than a
+    two-key lexsort, ~50x faster than np.unique(axis=0)'s void-dtype sort),
+    then masks value-equal neighbors. Hash collisions between DIFFERENT
+    pairs cannot drop one (the mask compares actual values); the only
+    effect of a collision is that a rare duplicate may survive — harmless
+    for idempotent consumers (scoring, connected components)."""
+    if len(arr) <= 1:
+        return arr
+    key = arr[:, 0] * np.uint64(0x9E3779B97F4A7C15) ^ arr[:, 1] * np.uint64(
+        0xC2B2AE3D27D4EB4F
+    )
+    a = arr[np.argsort(key)]
+    keep = np.concatenate(([True], (a[1:] != a[:-1]).any(axis=1)))
+    return a[keep]
+
+
 def _hex16_to_u64(ids: list[str]) -> np.ndarray:
     """row_id (16 hex chars, sha256 prefix) → uint64; big-endian view keeps
     lexicographic order, so u64 compares == string compares."""
@@ -116,7 +135,7 @@ def _candidate_pairs_factory(config: PipelineConfig):
             chunks.append(np.stack([lo, hi], axis=1))
         if not chunks:
             return pa.table(_EMPTY_PAIRS)
-        pairs = np.unique(np.concatenate(chunks), axis=0)
+        pairs = _unique_pairs(np.concatenate(chunks))
         return pa.table({
             "pu": pa.array(pairs[:, 0], pa.uint64()),
             "pv": pa.array(pairs[:, 1], pa.uint64()),
@@ -176,10 +195,11 @@ def _scorer_factory(bundle_ref, config: PipelineConfig):
         iv = np.searchsorted(ids, pv)
         est = (sigs[iu] == sigs[iv]).mean(axis=1)
         accept = est >= threshold
-        # Jaro-Winkler stem assist on the borderline band only (few pairs)
+        # Jaro-Winkler stem assist on the borderline band only (few pairs);
+        # stems is an Arrow array — materialized per assist pair only
         assist = np.flatnonzero((~accept) & (est >= floor))
         for i in assist:
-            if jaro_winkler(stems[iu[i]], stems[iv[i]]) >= stem_thr:
+            if jaro_winkler(stems[iu[i]].as_py(), stems[iv[i]].as_py()) >= stem_thr:
                 accept[i] = True
         keep = np.flatnonzero(accept)
         return pa.table({
@@ -215,15 +235,26 @@ def _verify_broadcast(
     ]
     if not tbls:
         return ray.data.from_arrow(pa.table(_EMPTY_EDGES))
-    ft = pa.concat_tables([t.select(["row_id", "sig8", "stem"]) for t in tbls])
-    ids = _hex16_to_u64(ft["row_id"].to_pylist())
+    ft = pa.concat_tables(
+        [t.select(["row_id", "sig8", "stem"]) for t in tbls]
+    ).combine_chunks()
+    n_rows = ft.num_rows
+    num_perm = config.num_perm
+    # zero-copy-ish extraction straight from the Arrow buffers: row_id is
+    # n·16 hex chars and sig8 n·num_perm bytes, both contiguous
+    def flat_values(col: pa.Array, width: int) -> np.ndarray:
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int32)
+        start = int(offs[col.offset])
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        return data[start : start + width * len(col)]
+
+    rid_buf = flat_values(ft["row_id"].chunk(0), 16).tobytes()
+    ids = np.frombuffer(bytes.fromhex(rid_buf.decode("ascii")), dtype=">u8").astype(np.uint64)
+    sigs = flat_values(ft["sig8"].chunk(0), num_perm).reshape(n_rows, num_perm)
     order = np.argsort(ids)
     ids = ids[order]
-    num_perm = config.num_perm
-    sigs = np.frombuffer(
-        b"".join(ft["sig8"].to_pylist()), dtype=np.uint8
-    ).reshape(len(order), num_perm)[order]
-    stems = np.array(ft["stem"].to_pylist(), dtype=object)[order]
+    sigs = sigs[order]
+    stems = ft["stem"].chunk(0).take(pa.array(order))  # arrow array: lazy .as_py per assist pair
     bundle_ref = ray.put((ids, sigs, stems))
     return pairs.map_batches(
         _scorer_factory(bundle_ref, config),
@@ -311,10 +342,10 @@ def _distinct_pairs_shuffle(
     def dedup(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return pa.table(_EMPTY_PAIRS)
-        arr = np.unique(np.stack([
+        arr = _unique_pairs(np.stack([
             g["pu"].to_numpy(zero_copy_only=False),
             g["pv"].to_numpy(zero_copy_only=False),
-        ], axis=1), axis=0)
+        ], axis=1))
         return pa.table({
             "pu": pa.array(arr[:, 0], pa.uint64()),
             "pv": pa.array(arr[:, 1], pa.uint64()),
@@ -365,13 +396,13 @@ def verify_edges(
         distinct = _distinct_pairs_shuffle(pairs, config.census_buckets)
         return _verify_join(distinct, features, config)
     ptbls = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows > 0]
-    arr = np.unique(np.concatenate([
+    arr = _unique_pairs(np.concatenate([
         np.stack([
             t["pu"].to_numpy(zero_copy_only=False),
             t["pv"].to_numpy(zero_copy_only=False),
         ], axis=1)
         for t in ptbls
-    ]), axis=0)
+    ]))
     involved = np.unique(arr)
     distinct = _pairs_dataset(arr)
     if len(involved) <= config.verify_broadcast_max_rows:
