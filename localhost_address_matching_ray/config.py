@@ -51,7 +51,12 @@ class PipelineConfig:
 
     # --- MinHash / LSH ---
     num_perm: int = 128          # MinHash signature length
-    lsh_bands: int = 16          # bands (rows_per_band = num_perm // lsh_bands)
+    lsh_bands: int = 16          # bands (rows_per_band = num_perm // lsh_bands).
+                                 # r=8 keeps band blocks tight on vocab-
+                                 # sharing corpora (r=4 flooded candidates at
+                                 # the 1M soak); its ~9% miss on 0.78-est
+                                 # pairs is covered by the stem channel's
+                                 # in-block sig screening (screen_min_matches)
     shingle_k: int = 3           # token-shingle width
 
     # --- blocking / skew ---
@@ -62,7 +67,26 @@ class PipelineConfig:
                                  # offset 1 is the spanning chain, so the
                                  # window bounds EXTRA edges, never
                                  # connectivity. Bounds per-block pairs at
-                                 # k·window — the O(k²) guard by construction
+                                 # k·window — the O(k²) guard by construction.
+                                 # Also the per-row degree cap of the large-
+                                 # block sig screen below.
+    screen_degree_cap: int = 4   # screened partners kept per row: the screen
+                                 # exists to catch the RARE far-similar pair
+                                 # in a diverse block; in near-clique blocks
+                                 # it only adds redundant edges, so its cap
+                                 # is much tighter than the window
+    screen_min_matches: int = 5  # large (>window+1) blocks additionally run
+                                 # a vectorized all-pairs screen over the 16
+                                 # folded sig bytes carried in the block row:
+                                 # pairs matching ≥ this many of 16 become
+                                 # candidates (first `candidate_window` per
+                                 # row). 5/16 ≈ est 0.31: a 0.6-est pair
+                                 # fails w.p. 6e-3, a 0.78-est pair 5e-5,
+                                 # while unrelated content (est ~0.1) passes
+                                 # w.p. 2e-3 — the stem-channel recall that
+                                 # pure windowing lost (observed at the 1M
+                                 # soak: an est-0.78 rename pair >16 apart
+                                 # in a diverse stem block)
     salt_buckets: int = 8        # sub-blocks per hot key
 
     # --- scoring / clustering ---
@@ -95,7 +119,10 @@ class PipelineConfig:
     singleton_suppression: bool = True  # exact census + broadcast multi-key
                                         # set: singleton block emissions
                                         # never enter the blocking shuffle
-    driver_cc_max_edges: int = 5_000_000   # ≤ → driver union-find fast path
+    driver_cc_max_edges: int = 30_000_000  # ≤ → driver connected components
+                                           # (vectorized min-label propagation,
+                                           # ~1 s / 2.4M edges; ~500 MB at the
+                                           # ceiling)
     broadcast_components_max: int = 2_000_000  # ≤ → broadcast cluster map
     verify_broadcast_max_rows: int = 2_000_000  # candidate-involved rows ≤ →
                                                 # broadcast sig fetch; above →

@@ -181,9 +181,13 @@ class _PayloadEmitter:
         idx, kh = _flat_hashes(batch)
         row_ids = batch["row_id"].to_pylist()
         sig8 = batch["sig8"].to_pylist()
-        sigp = np.frombuffer(
-            b"".join(s[:8] for s in sig8), dtype=">u8"
-        ).astype(np.uint64) if sig8 else np.empty(0, np.uint64)
+        if sig8:
+            sp16 = np.frombuffer(
+                b"".join(s[:16] for s in sig8), dtype=">u8"
+            ).astype(np.uint64).reshape(-1, 2)
+            sigp, sigp2 = sp16[:, 0], sp16[:, 1]
+        else:
+            sigp = sigp2 = np.empty(0, np.uint64)
         multi = self.multi
         if multi is not None and len(kh):
             # singleton-block suppression: only keys the exact census saw
@@ -228,6 +232,7 @@ class _PayloadEmitter:
             ),
             "row_id": pa.array([row_ids[i] for i in out_i], pa.string()),
             "sigp": pa.array(sigp[i_arr] if len(i_arr) else sigp, pa.uint64()),
+            "sigp2": pa.array(sigp2[i_arr] if len(i_arr) else sigp2, pa.uint64()),
         })
 
 

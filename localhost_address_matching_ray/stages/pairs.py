@@ -97,30 +97,40 @@ def _u64_to_hex(vals: np.ndarray) -> list[str]:
 
 def _candidate_pairs_factory(config: PipelineConfig):
     window = config.candidate_window
+    screen_min = config.screen_min_matches
+    screen_cap = config.screen_degree_cap
 
     def pairs_bucket(group: pa.Table) -> pa.Table:
-        """One 64-way bucket of block rows → candidate pairs, with NO
-        per-block Python loop: after one lexsort by (block_key, sigp, id),
-        candidates are the window-offset positions ``(i, i+off)``,
-        off = 1..window, that share a block — ``window`` vectorized passes
-        over the whole bucket instead of a Python call per block (buckets
-        hold ~10⁴-10⁵ tiny blocks; per-block overhead was the stage's cost).
+        """One 64-way bucket of block rows → candidate pairs.
 
-        Semantics per block of size k: all pairs when k ≤ window+1, the
-        window of following rows per row otherwise. Offset 1 is the spanning
-        chain (block candidate graph connected by construction); offsets ≥ 2
-        are suppressed inside equal-sigp runs (exact/near-identical content,
-        adjacent after the sort, already chain-connected). Candidates per
-        block are ≤ k·window by construction — no separate overflow cap
-        needed (salting bounds k itself)."""
+        Two vectorized passes after one lexsort by (block_key, sigp, id):
+
+        * **window** — candidates are the offset positions ``(i, i+off)``,
+          off = 1..window, that share a block: ``window`` numpy passes over
+          the whole bucket, no Python call per block (buckets hold 10⁴-10⁵
+          tiny blocks; per-block overhead was the stage's cost). Offset 1 is
+          the spanning chain — block candidate graphs are connected by
+          construction; offsets ≥ 2 skip equal-sigp runs (exact-dup chains).
+        * **screen** — blocks larger than window+1 (diverse stem blocks,
+          salted sub-blocks) additionally run an all-pairs similarity screen
+          over the 16 folded sig bytes each block row carries: pairs
+          matching ≥ screen_min of 16 bytes become candidates, first
+          `screen_degree_cap` per row (transitivity connects near-cliques).
+          This restores the long-range recall windowing alone lost (a
+          similar pair > window apart in sort order) at O(k²·16) byte ops
+          per large block — vectorized, bounded by salting's k ≤ ~max_block
+          rows, and orders of magnitude cheaper than shuffling the pairs a
+          full-signature carry would cost.
+        """
         n = group.num_rows
         if n < 2:
             return pa.table(_EMPTY_PAIRS)
         kh = group["block_key"].to_numpy(zero_copy_only=False)
         sigp = group["sigp"].to_numpy(zero_copy_only=False)
+        sigp2 = group["sigp2"].to_numpy(zero_copy_only=False)
         ids = _hex16_to_u64(group["row_id"].to_pylist())
         order = np.lexsort((ids, sigp, kh))
-        kh = kh[order]; ids = ids[order]; sigp = sigp[order]
+        kh = kh[order]; ids = ids[order]; sigp = sigp[order]; sigp2 = sigp2[order]
         chunks: list[np.ndarray] = []
         for off in range(1, min(window, n - 1) + 1):
             same = kh[:-off] == kh[off:]
@@ -133,6 +143,47 @@ def _candidate_pairs_factory(config: PipelineConfig):
             a, b = a[ne], b[ne]
             lo, hi = np.minimum(a, b), np.maximum(a, b)
             chunks.append(np.stack([lo, hi], axis=1))
+
+        # large-block screen
+        bounds = np.flatnonzero(np.diff(kh)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n]))
+        big = np.flatnonzero((ends - starts) > window + 1)
+        for bi in big:
+            s, e = int(starts[bi]), int(ends[bi])
+            k = e - s
+            bids = ids[s:e]
+            B = np.ascontiguousarray(
+                np.stack([sigp[s:e], sigp2[s:e]], axis=1)
+            ).view(np.uint8).reshape(k, 16)
+            sp = sigp[s:e]; sp2 = sigp2[s:e]
+            pos = np.arange(k)
+            # row-chunked so the (chunk, k, 16) broadcast stays small
+            for c0 in range(0, k, 256):
+                c1 = min(c0 + 256, k)
+                eq = (B[c0:c1, None, :] == B[None, :, :]).sum(
+                    axis=2, dtype=np.int16
+                )
+                m = eq >= screen_min
+                # only beyond the window pass's reach, upper triangle
+                m &= (pos[None, :] - pos[c0:c1, None]) > window
+                # equal-16-byte runs are chain-connected already
+                full = (
+                    (sp[c0:c1, None] == sp[None, :])
+                    & (sp2[c0:c1, None] == sp2[None, :])
+                )
+                m &= ~full
+                # tight degree cap: first `screen_cap` screened partners
+                m &= np.cumsum(m, axis=1) <= screen_cap
+                ii, jj = np.nonzero(m)
+                if len(ii) == 0:
+                    continue
+                a, b = bids[ii + c0], bids[jj]
+                ne = a != b
+                a, b = a[ne], b[ne]
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                chunks.append(np.stack([lo, hi], axis=1))
+
         if not chunks:
             return pa.table(_EMPTY_PAIRS)
         pairs = _unique_pairs(np.concatenate(chunks))

@@ -45,11 +45,16 @@ def _blocks(pairs_of_ids, equal_sigp: bool = False):
             ids.append(m)
             sps.append(0 if equal_sigp else int(m, 16))
     kh = np.array(ks, dtype=np.uint64)
+    # mix so distinct rows get random-looking sig bytes (zeros would make
+    # every pair "similar" to the 16-byte screen)
+    sp = np.array(sps, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    sp2 = np.array(sps, dtype=np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
     return ray.data.from_arrow(pa.table({
         "block_key": pa.array(kh, pa.uint64()),
         "bucket": pa.array((kh % np.uint64(64)).astype(np.int32), pa.int32()),
         "row_id": pa.array(ids, pa.string()),
-        "sigp": pa.array(np.array(sps, dtype=np.uint64), pa.uint64()),
+        "sigp": pa.array(sp, pa.uint64()),
+        "sigp2": pa.array(sp2, pa.uint64()),
     }))
 
 
@@ -107,19 +112,56 @@ def test_broadcast_and_join_fetch_agree():
 
 def test_window_includes_spanning_chain():
     """A block larger than the all-pairs cutoff still yields a connected
-    candidate graph: every consecutive (sigp-sorted = id-sorted here)
-    pair is a candidate."""
+    candidate graph: every consecutive pair in sigp-sorted order is a
+    candidate."""
     cfg = PipelineConfig()
     n = 80  # > candidate_window + 1
     members = [_rid(i) for i in range(n)]
     blocks = _blocks([(777, members)])
     cand = {(r["pu"], r["pv"]) for r in candidate_pairs(blocks, cfg).take_all()}
-    ids = sorted(int(m, 16) for m in members)
-    for a, b in zip(ids, ids[1:]):
-        assert (a, b) in cand
-    # degree-capped: far-apart pairs are not candidates
-    assert (ids[0], ids[-1]) not in cand
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    by_sigp = sorted(
+        (int(m, 16) for m in members),
+        key=lambda x: int(np.uint64(x) * mix),
+    )
+    for a, b in zip(by_sigp, by_sigp[1:]):
+        assert (min(a, b), max(a, b)) in cand
+    # degree-capped + screen-rejected: sigp-far dissimilar pairs are absent
+    a, b = by_sigp[0], by_sigp[-1]
+    assert (min(a, b), max(a, b)) not in cand
     assert len(cand) < n * (n - 1) // 2
+
+
+def test_screen_recovers_far_similar_pair():
+    """The large-block sig screen: a similar pair (shares 8 of 16 folded
+    sig bytes) sitting far apart in sigp-sorted order — beyond the window —
+    still becomes a candidate; dissimilar far pairs do not."""
+    cfg = PipelineConfig()
+    n = 60
+    rng = np.random.RandomState(7)
+    ids = [_rid(i) for i in range(n)]
+    sp = rng.randint(1, 1 << 62, n).astype(np.uint64)
+    sp2 = rng.randint(1, 1 << 62, n).astype(np.uint64)
+    # rows 0 and n-1: same FIRST u64 (8 shared bytes ≥ screen_min=5),
+    # different second u64 (not full-equal); sp values chosen at the sort
+    # extremes so they're > window apart
+    sp[0] = np.uint64(1); sp[n - 1] = np.uint64(1)
+    # keep them far apart in the (sigp, id) sort: equal sigp sorts them
+    # adjacent — so give row n-1 the MAX sigp instead and share sigp2
+    sp[n - 1] = np.uint64((1 << 63) + 5)
+    sp2[n - 1] = sp2[0]
+    sp2[0] = sp2[n - 1]
+    kh = np.full(n, 4242, dtype=np.uint64)
+    blocks = ray.data.from_arrow(pa.table({
+        "block_key": pa.array(kh, pa.uint64()),
+        "bucket": pa.array((kh % np.uint64(64)).astype(np.int32), pa.int32()),
+        "row_id": pa.array(ids, pa.string()),
+        "sigp": pa.array(sp, pa.uint64()),
+        "sigp2": pa.array(sp2, pa.uint64()),
+    }))
+    cand = {(r["pu"], r["pv"]) for r in candidate_pairs(blocks, cfg).take_all()}
+    a, b = int(ids[0], 16), int(ids[n - 1], 16)
+    assert (min(a, b), max(a, b)) in cand
 
 
 def test_equal_sigp_chain_suppression():
