@@ -162,18 +162,31 @@ def scaling() -> None:
 
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        res = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, check=True,
-        )
-        return json.loads(res.stdout.strip().splitlines()[-1])
+        last_err = ""
+        for attempt in range(2):  # one retry: raylet startup is flaky under load
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True,
+            )
+            if res.returncode == 0:
+                return json.loads(res.stdout.strip().splitlines()[-1])
+            last_err = res.stderr[-2000:]
+            print(f"# run_once(num_cpus={ncpu}) attempt {attempt} failed:\n{last_err}",
+                  file=sys.stderr)
+        raise RuntimeError(f"bench subprocess failed twice at {ncpu} CPUs:\n{last_err}")
 
     def run(ncpu: int) -> dict:
-        # best-of-N: single-run variance on a shared box is ±15% (scheduler
-        # + page-cache noise); best throughput per level is the stable stat
-        repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
-        results = [run_once(ncpu) for _ in range(repeats)]
-        return max(results, key=lambda r: r["rows_per_sec"])
+        # median-of-N per level: single-run variance on a shared box is
+        # ±10-15% (scheduler + page-cache noise). A best-of estimator biases
+        # the RATIO — each level independently picks its luckiest run, so
+        # more repeats can only drag the ratio toward the lucky-lo/typical-hi
+        # corner; the median is the standard robust statistic for ratios.
+        repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
+        results = sorted(
+            (run_once(ncpu) for _ in range(repeats)),
+            key=lambda r: r["rows_per_sec"],
+        )
+        return results[len(results) // 2]
 
     lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))

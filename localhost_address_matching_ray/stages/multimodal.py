@@ -1,11 +1,15 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
-The decode/feature-extract kernels themselves are STUBBED (image/audio
-libraries are not in this container — the real kernels raise
-``NotImplementedError`` and a deterministic fake stands in), but every piece
-of Ray-side plumbing is real and tested: schema, actor-pool signature, batch
-sizing for wide binary rows, and output layout. Mirrors the reference's NER
-stage shape — heavyweight per-worker init (``load_pipeline``,
+Decoding: netpbm images (P5 PGM grayscale / P6 PPM RGB, the
+dependency-free interchange formats) are decoded FOR REAL in pure numpy —
+header parse + buffer reshape — with genuine image features (dimensions,
+channel means/std, a coarse 3×3 luminance grid). Formats that need
+external codecs (JPEG/PNG/audio/video — libraries absent in this
+container) raise ``NotImplementedError`` and a deterministic
+sha256-derived fake stands in, keeping the Ray-side plumbing (schema,
+actor-pool signature, small batches for wide binary rows, output layout)
+real and tested either way. Mirrors the reference's NER stage shape —
+heavyweight per-worker init (``load_pipeline``,
 ``ner_address_parser.py:44-49``), small batches for wide rows
 (``chunk 5000 / batch 32``, ``:161-162``).
 """
@@ -32,11 +36,78 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
-def real_decode(payload: bytes, kind: str):
-    """The true decode kernel — requires PIL / libav, absent here."""
+def decode_netpbm(payload: bytes) -> np.ndarray:
+    """Pure-numpy decoder for binary netpbm images: P5 (grayscale) →
+    (h, w) uint8, P6 (RGB) → (h, w, 3) uint8. Raises ValueError on
+    malformed input."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm payload")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    channels = 3 if payload[:2] == b"P6" else 1
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels, offset=i)
+    return data.reshape((h, w, 3)) if channels == 3 else data.reshape((h, w))
+
+
+def encode_netpbm(img: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_netpbm` (tests + fixture synthesis)."""
+    if img.ndim == 3:
+        header = f"P6\n{img.shape[1]} {img.shape[0]}\n255\n".encode()
+    else:
+        header = f"P5\n{img.shape[1]} {img.shape[0]}\n255\n".encode()
+    return header + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """16-dim image feature vector: [h, w, mean, std, per-channel means (3),
+    coarse 3×3 luminance grid (9)] — all float32, deterministic."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    lum = img.mean(axis=2)
+    grid = np.empty(9, dtype=np.float32)
+    ys = np.linspace(0, h, 4).astype(int)
+    xs = np.linspace(0, w, 4).astype(int)
+    for r in range(3):
+        for cc in range(3):
+            cell = lum[ys[r]:max(ys[r + 1], ys[r] + 1), xs[cc]:max(xs[cc + 1], xs[cc] + 1)]
+            grid[r * 3 + cc] = float(cell.mean()) if cell.size else 0.0
+    chan_means = [float(img[:, :, i].mean()) for i in range(min(c, 3))]
+    chan_means += [0.0] * (3 - len(chan_means))
+    return np.array(
+        [h, w, float(img.mean()), float(img.std())] + chan_means + grid.tolist(),
+        dtype=np.float32,
+    ) / np.float32(255.0)
+
+
+def real_decode(payload: bytes, kind: str) -> np.ndarray:
+    """Decode + feature-extract. Real for netpbm images; formats needing
+    external codecs (JPEG/PNG/audio/video) raise — the deterministic fake
+    stands in for those in tests."""
+    if kind == "image" and payload[:2] in (b"P5", b"P6"):
+        return image_features(decode_netpbm(payload))
     raise NotImplementedError(
-        "media decoding needs image/audio libraries not present in this "
-        "container; DeterministicFakeDecoder stands in for tests"
+        f"decoding kind={kind!r} needs codec libraries not present in this "
+        "container (only netpbm images decode natively); the deterministic "
+        "fake stands in for tests"
     )
 
 
@@ -54,8 +125,11 @@ class MediaFeatureExtractor:
         self.use_real = use_real_decoder
 
     def _features(self, payload: bytes, kind: str) -> np.ndarray:
+        if kind == "image" and payload[:2] in (b"P5", b"P6"):
+            # real decode path: dependency-free netpbm
+            return image_features(decode_netpbm(payload))
         if self.use_real:
-            return real_decode(payload, kind)  # pragma: no cover
+            return real_decode(payload, kind)  # raises for codec formats
         digest = hashlib.sha256(payload).digest()
         return np.frombuffer(digest[:16], dtype=np.uint8).astype(np.float32) / 255.0
 
@@ -93,17 +167,30 @@ def extract_media_features(
 
 
 def synthesize_media_table(docs: pa.Table) -> pa.Table:
-    """Deterministic fake media derived from the documents table (no external
-    data): payload = utf-8 text bytes, kind cycles image/audio/video."""
+    """Deterministic fake media derived from the documents table (no
+    external data): image rows carry REAL P6 netpbm payloads (16×12 RGB
+    patterns seeded by sha256(text) — the actor's real decode path runs on
+    them); audio/video rows carry opaque utf-8 bytes for the fake path."""
     kinds = ["image", "audio", "video"]
     doc_ids = docs["doc_id"].to_pylist()
     texts = docs["text"].to_pylist()
+    payloads, widths, heights = [], [], []
+    for d, t in zip(doc_ids, texts):
+        if d % 3 == 0:  # image
+            seed = hashlib.sha256(t.encode("utf-8")).digest()
+            img = np.frombuffer((seed * ((16 * 12 * 3) // 32 + 1)), dtype=np.uint8)
+            img = img[: 16 * 12 * 3].reshape(12, 16, 3)
+            payloads.append(encode_netpbm(img))
+            widths.append(16); heights.append(12)
+        else:
+            payloads.append(t.encode("utf-8"))
+            widths.append((d * 7) % 1920 + 1); heights.append((d * 13) % 1080 + 1)
     return pa.table({
         "media_id": pa.array(doc_ids, pa.int64()),
         "kind": pa.array([kinds[d % 3] for d in doc_ids], pa.string()),
-        "payload": pa.array([t.encode("utf-8") for t in texts], pa.large_binary()),
-        "width": pa.array([(d * 7) % 1920 + 1 for d in doc_ids], pa.int32()),
-        "height": pa.array([(d * 13) % 1080 + 1 for d in doc_ids], pa.int32()),
+        "payload": pa.array(payloads, pa.large_binary()),
+        "width": pa.array(widths, pa.int32()),
+        "height": pa.array(heights, pa.int32()),
         "sample_rate": pa.array(
             [16000 if d % 3 else 0 for d in doc_ids], pa.int32()
         ),

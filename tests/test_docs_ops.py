@@ -72,15 +72,45 @@ def test_multimodal_plumbing():
     out = extract_media_features(ray.data.from_arrow(media)).take_all()
     assert len(out) == 500
     assert all(len(r["features"]) == 16 for r in out[:10])
-    # the real decode kernel is stubbed and says so
+    # codec formats (jpeg/audio/video) still raise and say so
     with pytest.raises(NotImplementedError):
         real_decode(b"xx", "image")
-    # deterministic fake: same payload → same features
+    with pytest.raises(NotImplementedError):
+        real_decode(b"RIFF....", "audio")
+    # deterministic: same payload → same features (real + fake paths)
     ex = MediaFeatureExtractor()
     t = media.slice(0, 3)
     f1 = ex(t)["features"].to_pylist()
     f2 = ex(t)["features"].to_pylist()
     assert f1 == f2
+    # image rows went through the REAL netpbm decode: feature[0..1] are the
+    # normalized height/width of the synthesized 16x12 image
+    by_id = {r["media_id"]: r for r in out}
+    img_row = next(r for k, r in by_id.items() if k % 3 == 0)
+    assert abs(img_row["features"][0] - 12 / 255) < 1e-6
+    assert abs(img_row["features"][1] - 16 / 255) < 1e-6
+
+
+def test_netpbm_roundtrip_and_features():
+    import numpy as np
+
+    from localhost_address_matching_ray.stages.multimodal import (
+        decode_netpbm,
+        encode_netpbm,
+        image_features,
+    )
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, (9, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_netpbm(encode_netpbm(rgb)), rgb)
+    gray = rng.randint(0, 256, (5, 11), dtype=np.uint8)
+    assert np.array_equal(decode_netpbm(encode_netpbm(gray)), gray)
+    # header comments are skipped per the netpbm spec
+    with_comment = b"P5\n# a comment\n11 5\n255\n" + gray.tobytes()
+    assert np.array_equal(decode_netpbm(with_comment), gray)
+    f = image_features(rgb)
+    assert f.shape == (16,)
+    assert abs(f[2] * 255 - rgb.mean()) < 1e-3  # global mean channel
 
 
 def test_ann_topk_self_excluded_and_ranked():
