@@ -430,8 +430,7 @@ def doc_token_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
     return token_jaccard_pairs(docs, threshold=0.97)
 
 
-_NGRAM_PAIRS_SQL = f"""
-WITH tk AS (
+_NGRAM_CTES = f"""tk AS (
   SELECT doc_id, lang,
          unnest(string_split({_DOCNORM}, ' ')) AS tok,
          generate_subscripts(string_split({_DOCNORM}, ' '), 1) AS pos
@@ -441,11 +440,14 @@ sh AS (
          tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
   FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
 ss AS (SELECT doc_id, lang, list_distinct(list(shingle)) AS ss
-       FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id, lang)
-SELECT a.doc_id AS u, b.doc_id AS v,
-       round(len(list_intersect(a.ss, b.ss))::DOUBLE / len(list_distinct(a.ss || b.ss)), 6) AS jaccard
-FROM ss a JOIN ss b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.ss, b.ss))::DOUBLE / len(list_distinct(a.ss || b.ss)) >= 0.5"""
+       FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id, lang),
+ngram_pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v,
+         round(len(list_intersect(a.ss, b.ss))::DOUBLE / len(list_distinct(a.ss || b.ss)), 6) AS jaccard
+  FROM ss a JOIN ss b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.ss, b.ss))::DOUBLE / len(list_distinct(a.ss || b.ss)) >= 0.5)"""
+
+_NGRAM_PAIRS_SQL = "WITH " + _NGRAM_CTES + "\nSELECT u, v, jaccard FROM ngram_pairs"
 
 
 @register(
@@ -472,6 +474,35 @@ def doc_minhash_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
     return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+_NEAR_DEDUP_SQL = "WITH RECURSIVE " + _NGRAM_CTES + """,
+edges AS (SELECT u AS src, v AS dst FROM ngram_pairs
+          UNION ALL SELECT v, u FROM ngram_pairs),
+cc(node, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, c.reach FROM cc c JOIN edges e ON e.src = c.node),
+m AS (SELECT node, min(reach) AS rep FROM cc GROUP BY node),
+sizes AS (SELECT rep, count(*) AS cluster_size FROM m GROUP BY rep)
+SELECT d.doc_id, coalesce(s.cluster_size, 1) AS cluster_size
+FROM documents d
+LEFT JOIN sizes s ON s.rep = d.doc_id
+WHERE d.doc_id NOT IN (SELECT node FROM m WHERE node <> rep)"""
+
+
+@register(
+    "doc_near_dedup_keep",
+    _NEAR_DEDUP_SQL,
+    "near-dedup that REMOVES: verified MinHash-LSH pairs → connected "
+    "components → keep min doc_id per dup cluster (cluster_size = docs it "
+    "represents); oracle = recursive CTE over the exact n-gram pair set",
+)
+def doc_near_dedup_keep(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.docs_ops import near_dedup_keep
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return near_dedup_keep(docs, threshold=0.5)
 
 
 @register("doc_simhash_pairs", None,
@@ -1110,15 +1141,16 @@ def corpus_repo_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 @register("embedding_lsh_pairs", None,
-          "high-selectivity LSH config (12 planes × 16 tables): the bucket-"
-          "size-bounded configuration a 10^9-row corpus would run, trading "
-          "recall at low cosine thresholds for small buckets — rows-only by "
+          "bucket-bounded LSH config (8 planes × 32 tables = 256 buckets/"
+          "table): the selectivity-first configuration a large corpus would "
+          "run — ~63% recall AT the 0.45 threshold (union bound, rising fast "
+          "with cosine) for strictly bounded bucket sizes — rows-only by "
           "design (embedding_dup_pairs is the recall-tuned oracled variant)")
 def embedding_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
     from localhost_address_matching_ray.stages.ann import lsh_cosine_pairs
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return lsh_cosine_pairs(emb, threshold=0.45, n_planes=12, n_tables=16)
+    return lsh_cosine_pairs(emb, threshold=0.45, n_planes=8, n_tables=32)
 
 
 @register("embedding_ivf_pairs", None,
@@ -1130,6 +1162,42 @@ def embedding_ivf_pairs(sf_dir: str) -> ray.data.Dataset:
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ivf_cosine_pairs(emb, threshold=0.45, n_cells=32, n_probe=4)
+
+
+_EMB_DEDUP_SQL = """
+WITH RECURSIVE cos_pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45),
+edges AS (SELECT u AS src, v AS dst FROM cos_pairs
+          UNION ALL SELECT v, u FROM cos_pairs),
+cc(node, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, c.reach FROM cc c JOIN edges e ON e.src = c.node),
+m AS (SELECT node, min(reach) AS rep FROM cc GROUP BY node),
+sizes AS (SELECT rep, count(*) AS cluster_size FROM m GROUP BY rep)
+SELECT e.vec_id, coalesce(s.cluster_size, 1) AS cluster_size
+FROM embeddings e
+LEFT JOIN sizes s ON s.rep = e.vec_id
+WHERE e.vec_id NOT IN (SELECT node FROM m WHERE node <> rep)"""
+
+
+@register(
+    "embedding_near_dedup_keep",
+    _EMB_DEDUP_SQL,
+    "embedding-cosine near-dedup that REMOVES: recall-tuned verified LSH "
+    "pairs (4 planes × 64 tables, per-pair miss ≈ 3.8e-6 at cos 0.45) → "
+    "connected components → keep min vec_id per cluster; oracle = recursive "
+    "CTE over the exact cosine pair set",
+)
+def embedding_near_dedup_keep(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.ann import lsh_cosine_pairs
+    from localhost_address_matching_ray.stages.docs_ops import keep_representatives
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = lsh_cosine_pairs(emb, threshold=0.45, n_planes=4, n_tables=64)
+    return keep_representatives(emb, pairs, id_col="vec_id")
 
 
 @register(

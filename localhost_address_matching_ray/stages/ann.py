@@ -205,9 +205,10 @@ def lsh_cosine_pairs(
 
     Parameter trade (documented, per-query choice): few planes + many tables
     (4×64) drives per-pair miss to ~1e-6 even at low thresholds — the
-    recall-tuned config the oracled query uses; many planes (12×16) keeps
-    expected bucket size n/4096 per table — the bounded-bucket config a
-    10^9-row corpus needs, at the price of recall for low-cosine pairs. For
+    recall-tuned config the oracled queries use; more planes (8×32, the
+    registered ``embedding_lsh_pairs`` config) bounds bucket sizes for a
+    large corpus at the price of recall for low-cosine pairs (~63% AT the
+    0.45 threshold, rising fast with cosine). For
     genuinely low thresholds at scale, the right structure is IVF
     (coarse-quantize then probe neighboring cells), not hyperplane LSH."""
     from localhost_address_matching_ray.config import default_pool_size

@@ -424,6 +424,87 @@ def minhash_lsh_pairs(
     return pairs_ds.map_batches(verify, batch_format="pyarrow", batch_size=8192)
 
 
+def near_dedup_keep(
+    docs: ray.data.Dataset,
+    num_perm: int = 128,
+    bands: int = 64,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> ray.data.Dataset:
+    """Near-dedup that REMOVES documents: verified MinHash-LSH pairs →
+    connected components → keep the min ``doc_id`` per duplicate cluster,
+    drop the rest. Output: one row per KEPT doc, ``(doc_id, cluster_size)``
+    where ``cluster_size`` is how many near-dups the kept doc represents
+    (1 for docs with no near-dup) — the shape a training-data pipeline
+    feeds downstream (kept corpus + provenance weight).
+
+    Scale shape: clustering is the scale-adaptive
+    :func:`~localhost_address_matching_ray.stages.cluster.connected_components`
+    (vectorized driver min-label ≤ ``driver_cc_max_edges``, distributed
+    label propagation above); the drop-set and rep→size map are
+    O(duplicate docs) — broadcast once via ``ray.put`` — and the corpus
+    then streams through ONE vectorized searchsorted filter pass, no join.
+    """
+    pairs = minhash_lsh_pairs(docs, num_perm, bands, shingle_k, threshold)
+    return keep_representatives(docs, pairs, id_col="doc_id")
+
+
+def keep_representatives(
+    items: ray.data.Dataset, pairs: ray.data.Dataset, id_col: str
+) -> ray.data.Dataset:
+    """Shared keep-side of near-dedup: duplicate pairs ``(u, v)`` (int64 ids)
+    → connected components → one ``(id_col, cluster_size)`` row per kept
+    representative (min id per cluster; size 1 for untouched items).
+    Scale shape documented on :func:`near_dedup_keep`."""
+    from localhost_address_matching_ray.stages.cluster import (
+        _collect,
+        connected_components,
+    )
+
+    def to_hex(batch: pa.Table) -> pa.Table:
+        # 16-hex zero-padded ids preserve int order, unlocking the CC
+        # stage's vectorized u64 fast path
+        return pa.table({
+            "u": pa.array([format(x, "016x") for x in batch["u"].to_pylist()], pa.string()),
+            "v": pa.array([format(x, "016x") for x in batch["v"].to_pylist()], pa.string()),
+        })
+
+    comps = connected_components(pairs.map_batches(to_hex, batch_format="pyarrow"))
+    comp_tbl = _collect(
+        comps, pa.schema([("row_id", pa.string()), ("cluster_label", pa.string())])
+    )
+    nodes = np.array([int(x, 16) for x in comp_tbl["row_id"].to_pylist()], dtype=np.int64)
+    labels = np.array(
+        [int(x, 16) for x in comp_tbl["cluster_label"].to_pylist()], dtype=np.int64
+    )
+    dropped = np.sort(nodes[nodes != labels])
+    reps, counts = np.unique(labels, return_counts=True)  # sorted by construction
+    drop_ref = ray.put(dropped)
+    rep_ref = ray.put((reps, counts))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)
+        reps_l, counts_l = ray.get(rep_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(drop):
+            pos = np.minimum(np.searchsorted(drop, ids), len(drop) - 1)
+            kept_mask = drop[pos] != ids
+        else:
+            kept_mask = np.ones(len(ids), dtype=bool)
+        kids = ids[kept_mask]
+        size = np.ones(len(kids), dtype=np.int64)
+        if len(reps_l):
+            pos = np.minimum(np.searchsorted(reps_l, kids), len(reps_l) - 1)
+            m = reps_l[pos] == kids
+            size[m] = counts_l[pos[m]]
+        return pa.table({
+            id_col: pa.array(kids, pa.int64()),
+            "cluster_size": pa.array(size, pa.int64()),
+        })
+
+    return items.select_columns([id_col]).map_batches(keep, batch_format="pyarrow")
+
+
 _SH_MIX1 = np.uint64(0x9E3779B97F4A7C15)
 _SH_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
 

@@ -42,6 +42,45 @@ def test_lsh_finds_exact_jaccard_pairs(docs):
     assert len(missed) <= max(1, len(exact) // 10), f"LSH missed {missed}"
 
 
+def test_near_dedup_keep_removes_non_reps(docs):
+    """Kept set = all docs minus non-representative dup-cluster members;
+    each kept rep carries its cluster size; total docs are conserved."""
+    from localhost_address_matching_ray.stages.docs_ops import (
+        near_dedup_keep,
+        ngram_dup_pairs,
+    )
+
+    n_docs = docs.count()
+    pairs = [(r["u"], r["v"]) for r in ngram_dup_pairs(docs, k=3, threshold=0.5).take_all()]
+    assert pairs, "fixture should contain planted near-dups"
+    # reference union-find over the exact pair set
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict[int, set] = {}
+    for x in list(parent):
+        members.setdefault(find(x), set()).add(x)
+
+    out = {r["doc_id"]: r["cluster_size"] for r in near_dedup_keep(docs).take_all()}
+    # conservation: every doc is represented exactly once
+    assert sum(out.values()) == n_docs
+    for rep, mem in members.items():
+        assert out[rep] == len(mem)
+        for m in mem - {rep}:
+            assert m not in out
+    # docs outside any dup cluster are kept with size 1
+    n_singletons = n_docs - sum(len(m) for m in members.values())
+    assert sum(1 for v in out.values() if v == 1) >= n_singletons
+
+
 def test_simhash_pairs_subset_of_same_lang(docs):
     from localhost_address_matching_ray.stages.docs_ops import simhash_pairs
 

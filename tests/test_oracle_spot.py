@@ -23,6 +23,8 @@ SPOT_QUERIES = [
     "events_sliding_windows",
     "ann_topk",
     "doc_train_val_split",
+    "doc_near_dedup_keep",
+    "embedding_near_dedup_keep",
 ]
 
 
