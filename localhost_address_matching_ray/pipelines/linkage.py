@@ -72,9 +72,11 @@ def link_corpus(
         # join; the wide column never rides any shuffle
         if ckpt is None:
             normalized = normalized.materialize()
-            if normalized.num_blocks() < max(8, cpus):
-                # parallelism floor: a single-file source yields a handful of
-                # blocks, which would serialize the feature stage (block
+            if normalized.num_blocks() < nblocks:
+                # parallelism floor at 2×CPUs: block count ≈ worker count
+                # leaves a straggler tail where a couple of workers run two
+                # full blocks while the rest idle — measured 2× on the
+                # feature stage with 32 blocks on 30 workers (block
                 # split/merge only — not a key shuffle; the checkpointed path
                 # reads many part files and needs no resplit)
                 normalized = normalized.repartition(nblocks).materialize()

@@ -101,10 +101,10 @@ class FeatureExtractor:
 
         n = len(contents)
         sig_bytes: list[bytes] = []
-        sig8_bytes: list[bytes] = []
         block_hashes: list[np.ndarray] = []
         th_list: list[np.ndarray] = []
         n_tok = np.empty(n, dtype=np.int64)
+        sig_mat = np.empty((n, self.config.num_perm), dtype=np.uint64)
         for i, (c, lg, st) in enumerate(zip(contents, langs, stems)):
             toks = self._doc_tokens(c, lg)
             lc = self.lang_configs.get(lg)
@@ -112,9 +112,9 @@ class FeatureExtractor:
             th = self.token_hasher.hash_tokens(toks)
             th_list.append(th)
             sig = self.minhasher.signature(shingle_hashes_from(th, k))
+            sig_mat[i] = sig
             sigb = sig.tobytes()
             sig_bytes.append(sigb)
-            sig8_bytes.append((sig & np.uint64(0xFF)).astype(np.uint8).tobytes())
             hashes = np.empty(bands + (1 if st else 0), dtype=np.uint64)
             for b in range(bands):
                 d = sha1(f"L|{lg}|{b}|".encode() + sigb[b * r * 8 : (b + 1) * r * 8]).digest()
@@ -129,6 +129,11 @@ class FeatureExtractor:
             np.concatenate(th_list) if th_list else np.empty(0, np.uint64),
             n_tok,
         )
+        # sig8 fold for the whole batch in one pass (per-row astype is ~10×
+        # the cost at 4k rows/batch); row slices of a C-contiguous uint8
+        # matrix serialize with one memcpy each
+        sig8_mat = (sig_mat & np.uint64(0xFF)).astype(np.uint8)
+        sig8_bytes = [sig8_mat[i].tobytes() for i in range(n)]
 
         out = batch.select([c for c in KEEP_COLUMNS if c in batch.column_names])
         return (
