@@ -31,6 +31,22 @@ from localhost_address_matching_ray.state.checkpoint import load_or_compute
 from localhost_address_matching_ray.state.metrics import StageMetrics
 
 
+def _source_blocks(ds: ray.data.Dataset) -> int | None:
+    """Best-effort block count of a possibly-lazy source WITHOUT executing
+    it: parquet/CSV reads report their file list; materialized datasets
+    report blocks; otherwise unknown (treated as already-fine)."""
+    try:
+        files = ds.input_files()
+        if files:
+            return len(files)
+    except Exception:
+        pass
+    try:
+        return ds.num_blocks()
+    except Exception:
+        return None
+
+
 def link_corpus(
     corpus: ray.data.Dataset,
     config: PipelineConfig | None = None,
@@ -71,17 +87,22 @@ def link_corpus(
         # exact dups cluster via identical MinHash signatures — no content
         # join; the wide column never rides any shuffle
         if ckpt is None:
-            normalized = normalized.materialize()
-            if normalized.num_blocks() < nblocks:
-                # parallelism floor at 2×CPUs: block count ≈ worker count
-                # leaves a straggler tail where a couple of workers run two
-                # full blocks while the rest idle — measured 2× on the
-                # feature stage with 32 blocks on 30 workers (block
-                # split/merge only — not a key shuffle; the checkpointed path
-                # reads many part files and needs no resplit)
-                normalized = normalized.repartition(nblocks).materialize()
-        reps, exact_edges = normalized, None
-        rows_view = normalized
+            # FUSED fast path: normalize flows lazily into the feature
+            # stage, so the wide content column never materializes as a
+            # full object-store copy — only the narrow feature table does,
+            # and it keeps row_id / content_sha256* / stem / n_tokens, which
+            # serves every downstream consumer (assign, exact_dedup,
+            # explain). Parallelism floor at 2×CPUs blocks: block count ≈
+            # worker count leaves a straggler tail (measured 2× on the
+            # feature stage with 32 blocks on 30 workers), so coarse sources
+            # get one in-pipeline repartition (block split/merge only — not
+            # a key shuffle; the checkpointed path persists per stage and
+            # needs none of this).
+            if (_source_blocks(corpus) or nblocks) < nblocks:
+                normalized = normalized.repartition(nblocks)
+            reps, exact_edges, rows_view = normalized, None, None
+        else:
+            reps, exact_edges, rows_view = normalized, None, normalized
 
     features = load_or_compute(
         ckpt, input_fingerprint, "features", ver,
@@ -96,6 +117,16 @@ def link_corpus(
         # blocking reads features twice (census + payload): pin the
         # (content-free, rep-only) feature table instead of recomputing it.
         features = features.materialize()
+    if rows_view is None:
+        # fused fast path: the feature table doubles as the row view, minus
+        # the feature payload columns — list/binary columns must not reach
+        # downstream joins (Arrow hash join rejects list non-key fields)
+        from localhost_address_matching_ray.stages.feature_stage import KEEP_COLUMNS
+
+        schema_names = features.schema().names
+        rows_view = features.select_columns(
+            [c for c in KEEP_COLUMNS if c in schema_names]
+        )
 
     if config.singleton_suppression:
         # exact census: doubles as the multi-row-key finder, so singleton
