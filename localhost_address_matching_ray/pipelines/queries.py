@@ -1153,6 +1153,19 @@ def embedding_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
     return lsh_cosine_pairs(emb, threshold=0.45, n_planes=8, n_tables=32)
 
 
+@register("ann_ivf_topk", None,
+          "IVF dual-side multi-probe top-k — the similarity-search scale "
+          "path: candidates exactly rescored, recall approximate by "
+          "construction → rows-only; ann_topk is the oracled brute "
+          "baseline and tests assert ≥0.9 top-k overlap")
+def ann_ivf_topk(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.ann import ivf_topk
+
+    ids, mat = _query_vectors(sf_dir, 10)
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(emb, ids, mat, k=10)
+
+
 @register("embedding_ivf_pairs", None,
           "IVF (spherical k-means cells + multi-probe) cosine near-dup pairs "
           "— the scale structure for low thresholds where hyperplane LSH "

@@ -87,12 +87,24 @@ def ann_topk(
         concurrency=default_pool_size(concurrency), num_cpus=1,
     )
 
+    return cands.groupby("query_id").map_groups(
+        _topk_reduce_factory(k), batch_format="pyarrow"
+    )
+
+
+def _topk_reduce_factory(k: int):
+    """Final per-query exact reduce over the (tiny) candidate stream:
+    dedup, drop self-hits, rank by (-score, neighbor_id)."""
+
     def reduce_group(g: pa.Table) -> pa.Table:
         qid = g["query_id"][0].as_py()
         nb = g["neighbor_id"].to_numpy(zero_copy_only=False)
         sc = g["score"].to_numpy(zero_copy_only=False)
         mask = nb != qid  # exclude self
         nb, sc = nb[mask], sc[mask]
+        # a neighbor can arrive from several probes/batches — keep one
+        nb, first = np.unique(nb, return_index=True)
+        sc = sc[first]
         order = np.lexsort((nb, -sc))[:k]
         return pa.table({
             "query_id": pa.array(np.full(len(order), qid), pa.int64()),
@@ -101,7 +113,108 @@ def ann_topk(
             "score": pa.array(sc[order], pa.float64()),
         })
 
-    return cands.groupby("query_id").map_groups(reduce_group, batch_format="pyarrow")
+    return reduce_group
+
+
+class _IvfTopKScorer:
+    """Actor: centroids + per-cell query lists broadcast once; a batch row
+    is scored ONLY against the queries probing one of its ``n_probe_data``
+    cells — per-batch work shrinks by ~ (n_probe·n_probe_data)/n_cells vs
+    the brute broadcast scorer."""
+
+    def __init__(self, ref, k: int, n_probe_data: int) -> None:
+        st = ray.get(ref)
+        self.qids = st["ids"]
+        self.qm = st["qm"]
+        self.cent = st["cent"]
+        self.cell_queries = st["cq"]
+        self.k = k
+        self.n_probe_data = n_probe_data
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        pd_ = min(self.n_probe_data, self.cent.shape[0])
+        cells = np.argsort(-(mn @ self.cent.T), axis=1, kind="stable")[:, :pd_]
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        qs, ns, ss = [], [], []
+        for c in np.unique(cells):
+            qidx = self.cell_queries.get(int(c))
+            if qidx is None or len(qidx) == 0:
+                continue
+            rows = np.where((cells == c).any(axis=1))[0]
+            sims = _cosine_matrix(self.qm[qidx], m[rows])  # (nq_c, nr)
+            kk = min(self.k + 1, len(rows))
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            qs.append(np.repeat(self.qids[qidx], kk))
+            ns.append(vec_ids[rows][idx.ravel()])
+            ss.append(sims[np.repeat(np.arange(len(qidx)), kk), idx.ravel()])
+        if not qs:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            })
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qs), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(ns), pa.int64()),
+            "score": pa.array(np.concatenate(ss), pa.float64()),
+        })
+
+
+def ivf_topk(
+    embeddings: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    n_probe_data: int = 2,
+    sample_cap: int = 8192,
+    seed: int = 211,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """IVF multi-probe top-k — the similarity-SEARCH scale path
+    (:func:`ann_topk` is the brute broadcast baseline that scores every
+    batch against every query). Data vectors are probed into their
+    ``n_probe_data`` nearest spherical-k-means cells, each query into its
+    ``n_probe`` nearest; a batch row is scored only against queries
+    sharing a cell. Candidates are exactly rescored, so scores are
+    bit-identical to brute force; recall is approximate — a true neighbor
+    whose cells are all unprobed is missed. On vectors with real cluster
+    structure the probed cells prune hard; on unstructured vectors the
+    candidate fraction degrades toward ``n_probe·n_probe_data/n_cells``
+    (the price of recall without structure). The sandbox embeddings table
+    is near-random (rank-1 cosine p90 ≈ 0.43), so the defaults here are
+    recall-leaning (16/8/2 → measured 1.0 overlap with brute top-10);
+    production configs with clustered data run 1024+ cells at
+    ``n_probe≈8, n_probe_data=1``. The registered query is rows-only
+    checked, with the recall test in ``tests/test_docs_ops.py``.
+    """
+    from localhost_address_matching_ray.config import default_pool_size
+
+    sample_ds = embeddings.select_columns(["vec_id", "embedding"]).limit(sample_cap)
+    sample_tbl = pa.concat_tables(ray.get(sample_ds.to_arrow_refs()))
+    cent = _spherical_kmeans(_emb_matrix(sample_tbl), n_cells, seed=seed)
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    p = min(n_probe, cent.shape[0])
+    qcells = np.argsort(-(qn @ cent.T), axis=1, kind="stable")[:, :p]
+    cell_queries = {
+        int(c): np.where((qcells == c).any(axis=1))[0]
+        for c in np.unique(qcells)
+    }
+    ref = ray.put({
+        "ids": np.asarray(query_ids), "qm": qm, "cent": cent, "cq": cell_queries,
+    })
+    cands = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        _IvfTopKScorer, fn_constructor_args=(ref, k, n_probe_data),
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=default_pool_size(concurrency), num_cpus=1,
+    )
+    return cands.groupby("query_id").map_groups(
+        _topk_reduce_factory(k), batch_format="pyarrow"
+    )
 
 
 #: cosine_pairs collects the full embedding matrix to the driver — baseline

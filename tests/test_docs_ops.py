@@ -152,6 +152,34 @@ def test_netpbm_roundtrip_and_features():
     assert abs(f[2] * 255 - rgb.mean()) < 1e-3  # global mean channel
 
 
+def test_ivf_topk_recall_vs_brute():
+    """IVF dual-side multi-probe top-k overlaps the brute-force top-k
+    ≥ 0.9 at the default (n_cells=16, n_probe=8, n_probe_data=2) on the
+    sf0.001 embeddings — near-random vectors, the worst case for IVF —
+    and scores for shared neighbors are identical (exact rescoring)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from localhost_address_matching_ray.stages.ann import ann_topk, ivf_topk
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    qt = t.filter(pa.array(ids < 10))
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    qm = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    emb = ray.data.from_arrow(t)
+    brute = {(r["query_id"], r["neighbor_id"]): r["score"]
+             for r in ann_topk(emb, qids, qm, k=10).take_all()}
+    ivf = {(r["query_id"], r["neighbor_id"]): r["score"]
+           for r in ivf_topk(emb, qids, qm, k=10).take_all()}
+    assert brute, "brute top-k must be non-empty"
+    overlap = len(set(brute) & set(ivf)) / len(brute)
+    assert overlap >= 0.9, f"IVF top-k recall {overlap:.2f} < 0.9"
+    for key in set(brute) & set(ivf):
+        assert brute[key] == ivf[key]  # exact rescoring
+
+
 def test_ann_topk_self_excluded_and_ranked():
     import numpy as np
     import pyarrow.parquet as pq
