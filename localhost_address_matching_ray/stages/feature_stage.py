@@ -75,6 +75,7 @@ class FeatureExtractor:
         self._extra_rules = [
             (re.compile(p), r) for p, r in config.extra_rules
         ]
+        self._lang_salts: dict[str, int] = {}
 
     def _doc_tokens(self, content: str, lang: str) -> list[str]:
         lc = self.lang_configs.get(lang)
@@ -100,30 +101,58 @@ class FeatureExtractor:
         sha1 = hashlib.sha1
 
         n = len(contents)
-        sig_bytes: list[bytes] = []
-        block_hashes: list[np.ndarray] = []
         th_list: list[np.ndarray] = []
+        sh_list: list[np.ndarray] = []
         n_tok = np.empty(n, dtype=np.int64)
-        sig_mat = np.empty((n, self.config.num_perm), dtype=np.uint64)
+        n_shingles = np.empty(n, dtype=np.int64)
+        lang_salts = np.empty(n, dtype=np.uint64)
+        stem_keys = np.zeros(n, dtype=np.uint64)
+        has_stem = np.zeros(n, dtype=bool)
+        salt_cache = self._lang_salts
         for i, (c, lg, st) in enumerate(zip(contents, langs, stems)):
             toks = self._doc_tokens(c, lg)
             lc = self.lang_configs.get(lg)
             k = lc.shingle_k if lc is not None else k_default
             th = self.token_hasher.hash_tokens(toks)
             th_list.append(th)
-            sig = self.minhasher.signature(shingle_hashes_from(th, k))
-            sig_mat[i] = sig
-            sigb = sig.tobytes()
-            sig_bytes.append(sigb)
-            hashes = np.empty(bands + (1 if st else 0), dtype=np.uint64)
-            for b in range(bands):
-                d = sha1(f"L|{lg}|{b}|".encode() + sigb[b * r * 8 : (b + 1) * r * 8]).digest()
-                hashes[b] = int.from_bytes(d[:8], "big")
+            sh = shingle_hashes_from(th, k)
+            sh_list.append(sh)
+            n_shingles[i] = len(sh)
+            salt = salt_cache.get(lg)
+            if salt is None:
+                d = sha1(f"L|{lg}|".encode()).digest()
+                salt = salt_cache[lg] = int.from_bytes(d[:8], "big")
+            lang_salts[i] = salt
             if st:
                 d = sha1(f"S|{lg}|{st}".encode()).digest()
-                hashes[bands] = int.from_bytes(d[:8], "big")
-            block_hashes.append(hashes)
+                stem_keys[i] = int.from_bytes(d[:8], "big")
+                has_stem[i] = True
             n_tok[i] = len(toks)
+        # MinHash signatures for the whole batch: one reduceat pass over the
+        # concatenated shingle stream (bit-identical to per-doc signature())
+        sig_mat = self.minhasher.signature_batch(
+            np.concatenate(sh_list) if sh_list else np.empty(0, np.uint64),
+            n_shingles,
+        )
+        sig_bytes = [sig_mat[i].tobytes() for i in range(n)]
+        # band keys for the whole batch, vectorized: fold each band's r sig
+        # lanes with the lang salt and band index through a splitmix64-style
+        # avalanche. Equal (lang, band, sig-lanes) ⇒ equal key — the only
+        # property blocking needs; values are free (no oracle pins them).
+        band_view = sig_mat.reshape(n, bands, r)
+        acc = lang_salts[:, None] ^ (
+            np.arange(bands, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        )[None, :]
+        M = np.uint64(0xC2B2AE3D27D4EB4F)
+        for j in range(r):
+            acc = acc * M + band_view[:, :, j]
+        acc ^= acc >> np.uint64(33)
+        acc *= np.uint64(0xFF51AFD7ED558CCD)
+        acc ^= acc >> np.uint64(33)
+        block_hashes = [
+            np.concatenate([acc[i], stem_keys[i : i + 1]]) if has_stem[i] else acc[i]
+            for i in range(n)
+        ]
         # simhash for the whole batch in one vectorized reduceat pass
         simhashes = self.simhasher.simhash_batch(
             np.concatenate(th_list) if th_list else np.empty(0, np.uint64),
