@@ -138,8 +138,10 @@ def main() -> None:
 
     link = run_linkage()
     queries = {"linkage": round(link["sec"], 3)}
-    for q in SIDE_QUERIES:
-        queries[q] = round(run_query(q), 3)
+    # scaling children time the headline only — side queries just add noise
+    if not os.environ.get("GRAFT_LINKAGE_ONLY"):
+        for q in SIDE_QUERIES:
+            queries[q] = round(run_query(q), 3)
 
     out = {
         "metric": "linkage_files_per_sec",
@@ -161,7 +163,7 @@ def scaling() -> None:
     ensure_bench_corpus()  # shared, cached, warmed by each child
 
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_LINKAGE_ONLY="1")
         last_err = ""
         for attempt in range(2):  # one retry: raylet startup is flaky under load
             res = subprocess.run(
@@ -175,31 +177,33 @@ def scaling() -> None:
                   file=sys.stderr)
         raise RuntimeError(f"bench subprocess failed twice at {ncpu} CPUs:\n{last_err}")
 
-    def run(ncpu: int) -> dict:
-        # median-of-N per level: single-run variance on a shared box is
-        # ±10-15% (scheduler + page-cache noise). A best-of estimator biases
-        # the RATIO — each level independently picks its luckiest run, so
-        # more repeats can only drag the ratio toward the lucky-lo/typical-hi
-        # corner; the median is the standard robust statistic for ratios.
-        repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
-        results = sorted(
-            (run_once(ncpu) for _ in range(repeats)),
-            key=lambda r: r["rows_per_sec"],
-        )
-        return results[len(results) // 2]
-
     lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
-    r_lo, r_hi = run(lo), run(hi)
-    tput_lo = r_lo["rows_per_sec"]
-    tput_hi = r_hi["rows_per_sec"]
-    eff = (tput_hi / tput_lo) / (hi / lo)
+    # INTERLEAVED rounds of (lo, hi): shared-box throughput drifts over tens
+    # of minutes (measured same-code swings of ±35%-50% within one day), so
+    # running all-lo then all-hi aliases that drift straight into the ratio.
+    # A (lo, hi) pair runs back-to-back inside one round — drift cancels
+    # within the pair — and the reported efficiency is the MEDIAN of the
+    # per-round ratios (a best-of estimator would let each level pick its
+    # luckiest run independently and bias the ratio).
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
+    rounds = []
+    for i in range(repeats):
+        r_lo, r_hi = run_once(lo), run_once(hi)
+        eff = (r_hi["rows_per_sec"] / r_lo["rows_per_sec"]) / (hi / lo)
+        rounds.append({"r_lo": r_lo, "r_hi": r_hi, "eff": eff})
+        print(f"# round {i}: lo={r_lo['value']}s hi={r_hi['value']}s "
+              f"eff={eff:.3f}", file=sys.stderr)
+    rounds.sort(key=lambda r: r["eff"])
+    med = rounds[len(rounds) // 2]
     print(json.dumps({
         "metric": "scaling_efficiency",
         "cpus_lo": lo, "cpus_hi": hi,
-        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
-        "rows_per_sec_lo": tput_lo, "rows_per_sec_hi": tput_hi,
-        "scaling_efficiency": round(eff, 3),
+        "sec_lo": med["r_lo"]["value"], "sec_hi": med["r_hi"]["value"],
+        "rows_per_sec_lo": med["r_lo"]["rows_per_sec"],
+        "rows_per_sec_hi": med["r_hi"]["rows_per_sec"],
+        "scaling_efficiency": round(med["eff"], 3),
+        "round_efficiencies": [round(r["eff"], 3) for r in rounds],
     }))
 
 

@@ -47,6 +47,55 @@ def normalize_content_array(texts) -> list[str]:
     return [sub(" ", norm("NFC", t)).strip() for t in texts]
 
 
+#: ASCII members of Python-re ``\s`` — the only ones an ASCII row can contain
+_ASCII_WS_PAT = "[\\t\\n\\x0b\\x0c\\r\\x1c-\\x1f ]+"
+
+
+def normalize_content_arrow(arr):
+    """:func:`normalize_content` over an Arrow string array, bit-identical.
+
+    ASCII rows (the overwhelming majority of a code corpus) run entirely in
+    RE2/C — NFC is the identity on ASCII, so only the whitespace collapse +
+    trim remain. Non-ASCII rows fall back to the scalar kernel per row
+    (pyarrow's ``utf8_normalize`` cannot be used: as of 16.x it fails to
+    COMPOSE — NFC('e'+U+0301) stays decomposed). Parity is property-tested
+    in ``tests/test_normalize.py``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    is_ascii = pc.string_is_ascii(arr)
+    fast = pc.utf8_trim(
+        pc.replace_substring_regex(arr, pattern=_ASCII_WS_PAT, replacement=" "),
+        characters=" ",
+    )
+    if pc.all(is_ascii).as_py():
+        return fast
+    mask = np.asarray(is_ascii.to_numpy(zero_copy_only=False), dtype=bool)
+    slow_idx = np.flatnonzero(~mask)
+    slow_vals = normalize_content_array(arr.take(pa.array(slow_idx)).to_pylist())
+    out = fast.to_pylist()
+    for i, v in zip(slow_idx, slow_vals):
+        out[i] = v
+    return pa.array(out, pa.string())
+
+
+def strip_comments_arrow(arr, comment_styles):
+    """:func:`strip_comments` over an Arrow string array, bit-identical
+    (RE2 ``(?s)`` == Python ``re.S``; the line patterns are shared)."""
+    import pyarrow.compute as pc
+
+    if "/*" in comment_styles:
+        arr = pc.replace_substring_regex(arr, pattern=r"(?s)/\*.*?\*/", replacement=" ")
+    for style in comment_styles:
+        if style == "#":
+            arr = pc.replace_substring_regex(arr, pattern=r"#[^\n]*", replacement=" ")
+        elif style == "//":
+            arr = pc.replace_substring_regex(arr, pattern=r"//[^\n]*", replacement=" ")
+    return arr
+
+
 def canonicalize_path(path: str) -> str:
     """Canonical repo path: NFC, lowercase, ``\\`` → ``/``, collapse ``//``,
     strip leading ``./`` and ``/``, trim.

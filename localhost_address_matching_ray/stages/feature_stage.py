@@ -44,7 +44,9 @@ from localhost_address_matching_ray.functions.hashing import (
 )
 from localhost_address_matching_ray.functions.normalize import (
     normalize_content,
+    normalize_content_arrow,
     strip_comments,
+    strip_comments_arrow,
     strip_stop_tokens,
     tokenize,
 )
@@ -90,8 +92,45 @@ class FeatureExtractor:
             toks = strip_stop_tokens(toks, stops)
         return toks
 
+    def _batch_tokens(self, content_col, langs: list[str]) -> list[list[str]]:
+        """Per-doc token lists for a whole batch — bit-identical to
+        :meth:`_doc_tokens` per row (tested), but the comment-strip and
+        normalize regex passes run per LANG SLICE in RE2/C
+        (``strip_comments_arrow`` / ``normalize_content_arrow``) instead of
+        per row in Python. User ``extra_rules`` keep Python ``re`` semantics
+        (applied per row after the vectorized chain, as before)."""
+        if isinstance(content_col, pa.ChunkedArray):
+            content_col = content_col.combine_chunks()
+        n = len(langs)
+        lang_arr = np.array(langs, dtype=object)
+        token_lists: list = [None] * n
+        for lg in set(langs):
+            idx = np.flatnonzero(lang_arr == lg)
+            sub = content_col.take(pa.array(idx))
+            lc = self.lang_configs.get(lg)
+            if lc is not None and lc.comment_styles:
+                sub = strip_comments_arrow(sub, lc.comment_styles)
+            texts = normalize_content_arrow(sub).to_pylist()
+            if self._extra_rules:
+                rules = self._extra_rules
+                fixed = []
+                for t in texts:
+                    for rx, repl in rules:
+                        t = rx.sub(repl, t)
+                    fixed.append(t)
+                texts = fixed
+            stops = self._stops.get(lg)
+            if stops:
+                for j, t in zip(idx, texts):
+                    token_lists[j] = [
+                        x for x in (t.split(" ") if t else []) if x not in stops
+                    ]
+            else:
+                for j, t in zip(idx, texts):
+                    token_lists[j] = t.split(" ") if t else []
+        return token_lists
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        contents = batch["content"].to_pylist()
         langs = batch["lang"].to_pylist()
         k_default = self.config.shingle_k
         bands = self.config.lsh_bands
@@ -100,7 +139,8 @@ class FeatureExtractor:
         r = self.config.rows_per_band
         sha1 = hashlib.sha1
 
-        n = len(contents)
+        n = len(langs)
+        all_tokens = self._batch_tokens(batch["content"], langs)
         th_list: list[np.ndarray] = []
         sh_list: list[np.ndarray] = []
         n_tok = np.empty(n, dtype=np.int64)
@@ -109,8 +149,7 @@ class FeatureExtractor:
         stem_keys = np.zeros(n, dtype=np.uint64)
         has_stem = np.zeros(n, dtype=bool)
         salt_cache = self._lang_salts
-        for i, (c, lg, st) in enumerate(zip(contents, langs, stems)):
-            toks = self._doc_tokens(c, lg)
+        for i, (toks, lg, st) in enumerate(zip(all_tokens, langs, stems)):
             lc = self.lang_configs.get(lg)
             k = lc.shingle_k if lc is not None else k_default
             th = self.token_hasher.hash_tokens(toks)
@@ -139,7 +178,9 @@ class FeatureExtractor:
         # lanes with the lang salt and band index through a splitmix64-style
         # avalanche. Equal (lang, band, sig-lanes) ⇒ equal key — the only
         # property blocking needs; values are free (no oracle pins them).
-        band_view = sig_mat.reshape(n, bands, r)
+        # slice first: num_perm need not be an exact multiple of bands
+        # (trailing perms beyond bands*r never entered band keys)
+        band_view = np.ascontiguousarray(sig_mat[:, : bands * r]).reshape(n, bands, r)
         acc = lang_salts[:, None] ^ (
             np.arange(bands, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         )[None, :]

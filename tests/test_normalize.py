@@ -83,3 +83,56 @@ def test_strip_comments_block_and_line():
 def test_token_count_array():
     counts = token_count_array(["a b  c", "", "  ", "single"])
     assert counts.tolist() == [3, 0, 0, 1]
+
+
+def test_arrow_kernels_match_scalar():
+    """normalize_content_arrow / strip_comments_arrow are bit-identical to
+    the scalar kernels — fuzzed over ASCII + unicode whitespace + combining
+    accents (the pyarrow utf8_normalize compose bug means non-ASCII rows
+    must take the scalar fallback; this asserts the routing is airtight)."""
+    import random
+
+    import pyarrow as pa
+
+    from localhost_address_matching_ray.functions.normalize import (
+        normalize_content_arrow,
+        strip_comments_arrow,
+    )
+
+    rng = random.Random(11)
+    pool = "abc de(){}#/*x*/ \t\n\xa0é\x0b　// c\n\x1c"
+    texts = ["".join(rng.choice(pool) for _ in range(rng.randint(0, 120)))
+             for _ in range(1500)]
+    texts += ["", " ", "plain", "# line", "/* b */ x", "a\xa0b", "café"]
+    arr = pa.array(texts, pa.string())
+
+    assert normalize_content_arrow(arr).to_pylist() == [
+        normalize_content(t) for t in texts
+    ]
+    for styles in (("#",), ("//", "/*"), ("#", "//", "/*"), ()):
+        assert strip_comments_arrow(arr, styles).to_pylist() == [
+            strip_comments(t, styles) for t in texts
+        ]
+
+
+def test_batch_tokens_matches_doc_tokens():
+    """FeatureExtractor._batch_tokens == per-row _doc_tokens, including
+    comment styles, stop tokens, and extra_rules."""
+    import pyarrow as pa
+
+    from localhost_address_matching_ray.config import PipelineConfig
+    from localhost_address_matching_ray.stages.feature_stage import FeatureExtractor
+
+    cfg = PipelineConfig(extra_rules=((r"v\d+", "vN"),))
+    fx = FeatureExtractor(cfg)
+    contents = [
+        "def f():  # comment\n    return v12",
+        "int a; // tail v3\n/* block */ int b;",
+        "plain text v9 end",
+        "",
+        "x\xa0y v1",
+    ]
+    langs = ["python", "c", "zz", "python", "javascript"]
+    got = fx._batch_tokens(pa.array(contents, pa.string()), langs)
+    want = [fx._doc_tokens(c, lg) for c, lg in zip(contents, langs)]
+    assert got == want
