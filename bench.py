@@ -139,7 +139,7 @@ def main() -> None:
     link = run_linkage()
     queries = {"linkage": round(link["sec"], 3)}
     # scaling children time the headline only — side queries just add noise
-    if not os.environ.get("GRAFT_LINKAGE_ONLY"):
+    if os.environ.get("GRAFT_LINKAGE_ONLY", "0").lower() in ("", "0", "false"):
         for q in SIDE_QUERIES:
             queries[q] = round(run_query(q), 3)
 
@@ -194,8 +194,10 @@ def scaling() -> None:
         rounds.append({"r_lo": r_lo, "r_hi": r_hi, "eff": eff})
         print(f"# round {i}: lo={r_lo['value']}s hi={r_hi['value']}s "
               f"eff={eff:.3f}", file=sys.stderr)
-    rounds.sort(key=lambda r: r["eff"])
-    med = rounds[len(rounds) // 2]
+    # lower-middle for even N (rounds[n//2] would be the MAX of two — the
+    # best-of bias again); report efficiencies in RUN order so box-weather
+    # drift stays diagnosable from the JSON
+    med = sorted(rounds, key=lambda r: r["eff"])[(len(rounds) - 1) // 2]
     print(json.dumps({
         "metric": "scaling_efficiency",
         "cpus_lo": lo, "cpus_hi": hi,

@@ -92,9 +92,15 @@ def ann_topk(
     )
 
 
-def _topk_reduce_factory(k: int):
+def _topk_reduce_factory(k: int, dedup_neighbors: bool = False):
     """Final per-query exact reduce over the (tiny) candidate stream:
-    dedup, drop self-hits, rank by (-score, neighbor_id)."""
+    drop self-hits, rank by (-score, neighbor_id).
+
+    ``dedup_neighbors`` is ONLY for the multi-probe IVF path, where one
+    data row reaches the same query via several probed cells and must
+    count once (kept at its max score). The brute path must NOT dedup:
+    duplicate vec_ids are distinct rows there, and the ★ ``ann_topk``
+    oracle ranks each row separately."""
 
     def reduce_group(g: pa.Table) -> pa.Table:
         qid = g["query_id"][0].as_py()
@@ -102,9 +108,14 @@ def _topk_reduce_factory(k: int):
         sc = g["score"].to_numpy(zero_copy_only=False)
         mask = nb != qid  # exclude self
         nb, sc = nb[mask], sc[mask]
-        # a neighbor can arrive from several probes/batches — keep one
-        nb, first = np.unique(nb, return_index=True)
-        sc = sc[first]
+        if dedup_neighbors and len(nb):
+            # keep each neighbor once at its BEST score (sub-matrix gemms
+            # can differ in the last ulp between probes — first-seen would
+            # be batch-order-dependent)
+            best = np.lexsort((-sc, nb))  # sorted by (nb asc, score desc)
+            nb_s, sc_s = nb[best], sc[best]
+            keep = np.concatenate(([True], nb_s[1:] != nb_s[:-1]))
+            nb, sc = nb_s[keep], sc_s[keep]
         order = np.lexsort((nb, -sc))[:k]
         return pa.table({
             "query_id": pa.array(np.full(len(order), qid), pa.int64()),
@@ -193,8 +204,7 @@ def ivf_topk(
     """
     from localhost_address_matching_ray.config import default_pool_size
 
-    sample_ds = embeddings.select_columns(["vec_id", "embedding"]).limit(sample_cap)
-    sample_tbl = pa.concat_tables(ray.get(sample_ds.to_arrow_refs()))
+    sample_tbl = _centroid_sample(embeddings, sample_cap)
     cent = _spherical_kmeans(_emb_matrix(sample_tbl), n_cells, seed=seed)
     qm = np.asarray(query_matrix, dtype=np.float64)
     qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
@@ -213,7 +223,7 @@ def ivf_topk(
         concurrency=default_pool_size(concurrency), num_cpus=1,
     )
     return cands.groupby("query_id").map_groups(
-        _topk_reduce_factory(k), batch_format="pyarrow"
+        _topk_reduce_factory(k, dedup_neighbors=True), batch_format="pyarrow"
     )
 
 
@@ -361,6 +371,39 @@ def lsh_cosine_pairs(
     return raw.groupby(["u", "v"]).aggregate(Max("score", alias_name="score"))
 
 
+def _centroid_sample(embeddings: ray.data.Dataset, sample_cap: int) -> pa.Table:
+    """Deterministic SPREAD sample of (vec_id, embedding) for k-means
+    training. A ``limit(sample_cap)`` prefix mirrors file order — a corpus
+    sorted by source/time would train centroids on early clusters only and
+    silently lose recall on late data. Rows are accepted by a splitmix64
+    fold of vec_id under a threshold sized from the row count (≈1.25×
+    oversample), then sorted by that hash and cut to ``sample_cap`` — the
+    result is independent of block order and of the total row count's
+    exact value."""
+    slim = embeddings.select_columns(["vec_id", "embedding"])
+    n = slim.count()
+    if n <= sample_cap:
+        return pa.concat_tables(ray.get(slim.to_arrow_refs()))
+    thr = np.uint64(min(2**64 - 1, int(2**64 * min(1.0, 1.25 * sample_cap / n))))
+
+    def pick(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = v * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        return t.filter(pa.array(h < thr)).append_column(
+            "_h", pa.array(h[h < thr], pa.uint64())
+        )
+
+    tbl = pa.concat_tables(
+        ray.get(slim.map_batches(pick, batch_format="pyarrow").to_arrow_refs())
+    )
+    if tbl.num_rows > sample_cap:
+        tbl = tbl.sort_by("_h").slice(0, sample_cap)
+    return tbl.drop_columns(["_h"])
+
+
 def _spherical_kmeans(sample: np.ndarray, n_cells: int, iters: int = 8,
                       seed: int = 211) -> np.ndarray:
     """Deterministic spherical k-means on a (driver-side) sample — the IVF
@@ -405,8 +448,7 @@ def ivf_cosine_pairs(
     """
     from ray.data.aggregate import Max
 
-    sample_ds = embeddings.select_columns(["vec_id", "embedding"]).limit(sample_cap)
-    sample_tbl = pa.concat_tables(ray.get(sample_ds.to_arrow_refs()))
+    sample_tbl = _centroid_sample(embeddings, sample_cap)
     dim = len(sample_tbl["embedding"][0])
     cent = _spherical_kmeans(_emb_matrix(sample_tbl), n_cells, seed=seed)
     cent_ref = ray.put(cent)

@@ -122,12 +122,10 @@ class FeatureExtractor:
             stops = self._stops.get(lg)
             if stops:
                 for j, t in zip(idx, texts):
-                    token_lists[j] = [
-                        x for x in (t.split(" ") if t else []) if x not in stops
-                    ]
+                    token_lists[j] = strip_stop_tokens(tokenize(t), stops)
             else:
                 for j, t in zip(idx, texts):
-                    token_lists[j] = t.split(" ") if t else []
+                    token_lists[j] = tokenize(t)
         return token_lists
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -177,7 +177,10 @@ def test_ivf_topk_recall_vs_brute():
     overlap = len(set(brute) & set(ivf)) / len(brute)
     assert overlap >= 0.9, f"IVF top-k recall {overlap:.2f} < 0.9"
     for key in set(brute) & set(ivf):
-        assert brute[key] == ivf[key]  # exact rescoring
+        # exact rescoring up to gemm summation order: brute scores come
+        # from one (nq, N) matmul, IVF from per-cell submatrices — BLAS
+        # may reduce the K dimension in a different order per shape
+        assert abs(brute[key] - ivf[key]) < 1e-9
 
 
 def test_ann_topk_self_excluded_and_ranked():
@@ -200,3 +203,27 @@ def test_ann_topk_self_excluded_and_ranked():
         rows.sort()
         scores = [s for _, s in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_centroid_sample_spread_and_deterministic():
+    """IVF k-means training sample is a SPREAD over the id range (a prefix
+    would mirror file order — sorted corpora would train on early clusters
+    only), block-order independent, and exactly sample_cap rows."""
+    import numpy as np
+
+    from localhost_address_matching_ray.stages.ann import _centroid_sample
+
+    rng = np.random.RandomState(0)
+    n = 20000
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([rng.randn(8).tolist() for _ in range(n)]),
+    })
+    s1 = _centroid_sample(ray.data.from_arrow(t), 2048)
+    s2 = _centroid_sample(ray.data.from_arrow(t).repartition(7), 2048)
+    ids1 = sorted(s1["vec_id"].to_pylist())
+    assert s1.num_rows == 2048 and s1.column_names == ["vec_id", "embedding"]
+    assert ids1 == sorted(s2["vec_id"].to_pylist())
+    assert 0.3 * n < np.mean(ids1) < 0.7 * n  # spread, not a prefix
+    # small inputs pass through whole
+    assert _centroid_sample(ray.data.from_arrow(t.slice(0, 100)), 2048).num_rows == 100
