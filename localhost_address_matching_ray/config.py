@@ -51,6 +51,14 @@ class PipelineConfig:
 
     # --- MinHash / LSH ---
     num_perm: int = 128          # MinHash signature length
+    minhash_mode: str = "oph"    # "oph" = one-permutation hashing (one pass
+                                 # over shingles, 5.6× the classic kernel,
+                                 # matching estimator accuracy — measured in
+                                 # hashing.oph_signature_batch's docstring);
+                                 # "classic" = num_perm universal hashes.
+                                 # Families are NOT value-compatible: the
+                                 # mode is part of the feature cache key and
+                                 # must not change mid-corpus
     lsh_bands: int = 16          # bands (rows_per_band = num_perm // lsh_bands).
                                  # r=8 keeps band blocks tight on vocab-
                                  # sharing corpora (r=4 flooded candidates at

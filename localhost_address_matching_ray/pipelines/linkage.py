@@ -61,6 +61,9 @@ def link_corpus(
     metrics = metrics or StageMetrics()
     ckpt = config.checkpoint_dir
     ver = config.pipeline_version
+    # signature-family flips invalidate every feature-derived checkpoint
+    # (OPH and classic values are not comparable)
+    fver = f"{ver}+mh-{config.minhash_mode}"
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     nblocks = max(8, cpus * 2)
@@ -105,7 +108,7 @@ def link_corpus(
             reps, exact_edges, rows_view = normalized, None, normalized
 
     features = load_or_compute(
-        ckpt, input_fingerprint, "features", ver,
+        ckpt, input_fingerprint, "features", fver,
         lambda: extract_features(
             # the collapse path's reps inherit the join's partitioning
             # (often < CPUs) — resplit; the default path is already split
@@ -150,7 +153,7 @@ def link_corpus(
         e = candidate_edges(blocks, features, config)
         return e.union(exact_edges) if exact_edges is not None else e
 
-    near_edges = load_or_compute(ckpt, input_fingerprint, "edges", ver, _edges)
+    near_edges = load_or_compute(ckpt, input_fingerprint, "edges", fver, _edges)
     if ckpt is None:
         # edges are read by CC iterations and metrics — pin the (small) table
         near_edges = near_edges.materialize()
@@ -159,7 +162,7 @@ def link_corpus(
         near_edges, driver_max_edges=config.driver_cc_max_edges
     )
     clusters = load_or_compute(
-        ckpt, input_fingerprint, "clusters", ver,
+        ckpt, input_fingerprint, "clusters", fver,
         lambda: assign_clusters(
             rows_view, components, broadcast_max=config.broadcast_components_max
         ),

@@ -165,12 +165,14 @@ class FeatureExtractor:
                 stem_keys[i] = int.from_bytes(d[:8], "big")
                 has_stem[i] = True
             n_tok[i] = len(toks)
-        # MinHash signatures for the whole batch: one reduceat pass over the
-        # concatenated shingle stream (bit-identical to per-doc signature())
-        sig_mat = self.minhasher.signature_batch(
-            np.concatenate(sh_list) if sh_list else np.empty(0, np.uint64),
-            n_shingles,
-        )
+        # MinHash signatures for the whole batch over the concatenated
+        # shingle stream: OPH (one binning pass) or classic (one reduceat
+        # pass per cache-sized slab), per config.minhash_mode
+        flat_sh = np.concatenate(sh_list) if sh_list else np.empty(0, np.uint64)
+        if self.config.minhash_mode == "oph":
+            sig_mat = self.minhasher.oph_signature_batch(flat_sh, n_shingles)
+        else:
+            sig_mat = self.minhasher.signature_batch(flat_sh, n_shingles)
         sig_bytes = [sig_mat[i].tobytes() for i in range(n)]
         # band keys for the whole batch, vectorized: fold each band's r sig
         # lanes with the lang salt and band index through a splitmix64-style
@@ -224,8 +226,8 @@ _PROCESS_EXTRACTORS: dict = {}
 
 def _config_cache_key(config: PipelineConfig) -> tuple:
     return (
-        config.num_perm, config.lsh_bands, config.shingle_k,
-        config.pipeline_version, config.extra_rules,
+        config.num_perm, config.minhash_mode, config.lsh_bands,
+        config.shingle_k, config.pipeline_version, config.extra_rules,
         tuple(sorted(config.lang_configs.items())),
     )
 

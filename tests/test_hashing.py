@@ -97,3 +97,41 @@ def test_shingle_short_doc():
     # fewer tokens than k → one shingle over all tokens, not empty
     assert len(shingle_hashes(["a", "b"], 5, th)) == 1
     assert len(shingle_hashes([], 3, th)) == 0
+
+
+def test_oph_signature_batch_properties():
+    """OPH signatures: order-invariant over the shingle multiset, empty-doc
+    sentinel, estimator tracks exact Jaccard, power-of-two guard."""
+    import numpy as np
+    import pytest
+
+    from localhost_address_matching_ray.functions.hashing import MinHasher
+
+    mh = MinHasher(num_perm=128)
+    rng = np.random.RandomState(5)
+    base = rng.randint(0, 2**63, size=400).astype(np.uint64)
+    perm = rng.permutation(base)
+    sigs = mh.oph_signature_batch(
+        np.concatenate([base, perm, np.empty(0, np.uint64)]),
+        np.array([len(base), len(perm), 0]),
+    )
+    assert (sigs[0] == sigs[1]).all()          # set semantics
+    assert (sigs[2] == np.uint64(2**64 - 1)).all()  # empty sentinel
+
+    # estimator sanity across overlap levels
+    for frac in (0.9, 0.6, 0.3):
+        n_shared = int(len(base) * frac)
+        other = np.concatenate([
+            base[:n_shared],
+            rng.randint(0, 2**63, size=len(base) - n_shared).astype(np.uint64),
+        ])
+        s = mh.oph_signature_batch(
+            np.concatenate([base, other]), np.array([len(base), len(other)])
+        )
+        sa, sb = set(base.tolist()), set(other.tolist())
+        j = len(sa & sb) / len(sa | sb)
+        est = float((s[0] == s[1]).mean())
+        assert abs(est - j) < 0.12, (frac, j, est)
+
+    with pytest.raises(ValueError):
+        MinHasher(num_perm=100).oph_signature_batch(base, np.array([len(base)]))
