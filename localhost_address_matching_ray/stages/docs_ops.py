@@ -222,20 +222,37 @@ def _doc_band_keyer_factory(num_perm: int, bands: int, k: int):
                 "langs": {},
             }
         mh, th, langc = st["mh"], st["th"], st["langs"]
-        texts = batch["text"].to_pylist()
+        from localhost_address_matching_ray.functions.normalize import (
+            normalize_content_arrow,
+        )
+
+        texts = normalize_content_arrow(batch["text"]).to_pylist()
         langs = batch["lang"].to_pylist()
         n = len(texts)
-        S = np.empty((n, num_perm), dtype=np.uint64)
         lh = np.empty(n, dtype=np.uint64)
+        sh_list = []
+        lens = np.empty(n, dtype=np.int64)
         for i, (t, lg) in enumerate(zip(texts, langs)):
-            toks = normalize_content(t).split(" ")
-            S[i] = mh.signature(shingle_hashes(toks, k, th))
+            # NOTE "".split(" ") == [''] — the historical convention here;
+            # empty docs hash the empty-string token, keeping parity with
+            # the exact-verify tokenization
+            sh = shingle_hashes(t.split(" "), k, th)
+            sh_list.append(sh)
+            lens[i] = len(sh)
             v = langc.get(lg)
             if v is None:
                 v = langc[lg] = int.from_bytes(
                     hashlib.sha1(lg.encode()).digest()[:8], "big"
                 )
             lh[i] = v
+        flat = np.concatenate(sh_list) if sh_list else np.empty(0, np.uint64)
+        # OPH when num_perm allows (one binning pass; candidates are exactly
+        # verified downstream, so the family only affects recall — covered
+        # by the LSH-finds-exact-pairs test), else the classic batch kernel
+        if num_perm & (num_perm - 1) == 0:
+            S = mh.oph_signature_batch(flat, lens)
+        else:
+            S = mh.signature_batch(flat, lens)
         Sb = S.reshape(n, bands, r)
         K = lh[:, None] * _BK_P3 ^ band_mix[None, :]
         for j in range(r):
