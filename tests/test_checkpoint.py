@@ -72,3 +72,29 @@ def test_pipeline_resumes_from_checkpoints(tmp_path, small_fixture_tables):
     r2 = link_corpus(corpus, cfg, input_fingerprint="fixture-v1")
     c2 = sorted((r["row_id"], r["cluster_id"]) for r in r2["clusters"].take_all())
     assert c1 == c2
+
+
+def test_minhash_mode_flip_invalidates_feature_checkpoints(tmp_path, small_fixture_tables):
+    """Flipping minhash_mode with the same checkpoint dir must NOT reuse
+    the feature-derived checkpoints (OPH and classic signature values are
+    incomparable) — the stage version embeds the mode — while still
+    producing the same clustering (F1-equivalent families)."""
+    import json
+
+    from localhost_address_matching_ray.config import PipelineConfig
+    from localhost_address_matching_ray.pipelines.linkage import link_corpus
+
+    corpus = ray.data.from_arrow(small_fixture_tables["corpus"])
+    base = dict(feature_concurrency=2, checkpoint_dir=str(tmp_path / "ck"))
+    r1 = link_corpus(corpus, PipelineConfig(minhash_mode="oph", **base),
+                     input_fingerprint="f1")
+    c1 = sorted((r["row_id"], r["cluster_id"]) for r in r1["clusters"].take_all())
+    man = json.load(open(tmp_path / "ck" / "features" / "_manifest.json"))
+    assert man["pipeline_version"].endswith("+mh-oph")
+
+    r2 = link_corpus(corpus, PipelineConfig(minhash_mode="classic", **base),
+                     input_fingerprint="f1")
+    c2 = sorted((r["row_id"], r["cluster_id"]) for r in r2["clusters"].take_all())
+    man = json.load(open(tmp_path / "ck" / "features" / "_manifest.json"))
+    assert man["pipeline_version"].endswith("+mh-classic")  # recomputed
+    assert c1 == c2  # same clustering from either family on the fixture
