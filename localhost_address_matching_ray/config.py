@@ -162,6 +162,24 @@ class PipelineConfig:
     #: lang_configs from a dimension file with sources.dimensions.
     extra_rules: tuple[tuple[str, str], ...] = ()
 
+    def __post_init__(self) -> None:
+        if self.minhash_mode not in ("oph", "classic"):
+            raise ValueError(
+                f"minhash_mode must be 'oph' or 'classic', got "
+                f"{self.minhash_mode!r} — a typo here would silently pick a "
+                f"signature family and fork the checkpoint namespace"
+            )
+
+    @property
+    def effective_minhash_mode(self) -> str:
+        """The family actually used: OPH bins are a bit slice, so it needs a
+        power-of-two ``num_perm``; other widths run classic. Resolved HERE
+        so the feature stage and the checkpoint stage version can never
+        disagree about which family produced the signatures."""
+        if self.minhash_mode == "oph" and self.num_perm & (self.num_perm - 1) == 0:
+            return "oph"
+        return "classic"
+
     @property
     def rows_per_band(self) -> int:
         return self.num_perm // self.lsh_bands

@@ -62,8 +62,10 @@ def link_corpus(
     ckpt = config.checkpoint_dir
     ver = config.pipeline_version
     # signature-family flips invalidate every feature-derived checkpoint
-    # (OPH and classic values are not comparable)
-    fver = f"{ver}+mh-{config.minhash_mode}"
+    # (OPH and classic values are not comparable); the EFFECTIVE mode —
+    # OPH falls back to classic for non-power-of-two num_perm — keeps the
+    # version string and the kernel choice in lockstep
+    fver = f"{ver}+mh-{config.effective_minhash_mode}"
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     nblocks = max(8, cpus * 2)

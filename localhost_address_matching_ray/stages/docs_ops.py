@@ -195,7 +195,8 @@ _BK_P2 = np.uint64(0xBF58476D1CE4E5B9)
 _BK_P3 = np.uint64(0x94D049BB133111EB)
 
 
-def _doc_band_keyer_factory(num_perm: int, bands: int, k: int):
+def _doc_band_keyer_factory(num_perm: int, bands: int, k: int,
+                            minhash_mode: str = "oph"):
     """MinHash LSH band keys for documents — KEY-ONLY emission.
 
     The candidates-then-verify shape (flagship lesson, round 1: carrying
@@ -246,10 +247,11 @@ def _doc_band_keyer_factory(num_perm: int, bands: int, k: int):
                 )
             lh[i] = v
         flat = np.concatenate(sh_list) if sh_list else np.empty(0, np.uint64)
-        # OPH when num_perm allows (one binning pass; candidates are exactly
-        # verified downstream, so the family only affects recall — covered
-        # by the LSH-finds-exact-pairs test), else the classic batch kernel
-        if num_perm & (num_perm - 1) == 0:
+        # OPH by default (one binning pass; candidates are exactly verified
+        # downstream, so the family only affects recall — covered by the
+        # LSH-finds-exact-pairs test). Same effective-mode rule as
+        # PipelineConfig: OPH needs a power-of-two num_perm.
+        if minhash_mode == "oph" and num_perm & (num_perm - 1) == 0:
             S = mh.oph_signature_batch(flat, lens)
         else:
             S = mh.signature_batch(flat, lens)
@@ -342,6 +344,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     concurrency: int | None = None,
     max_candidates: int = 5_000_000,
+    minhash_mode: str = "oph",
 ) -> ray.data.Dataset:
     """MinHash-LSH near-dup pairs with EXACT shingle-Jaccard verification —
     the scale path whose verified output equals :func:`ngram_dup_pairs`
@@ -362,7 +365,7 @@ def minhash_lsh_pairs(
     way ``driver_cc_max_edges`` bounds the clustering stage.
     """
     band_rows = docs.select_columns(["doc_id", "lang", "text"]).map_batches(
-        _doc_band_keyer_factory(num_perm, bands, shingle_k),
+        _doc_band_keyer_factory(num_perm, bands, shingle_k, minhash_mode),
         batch_format="pyarrow", batch_size=2048,
     )
     cand = band_rows.groupby("bucket").map_groups(

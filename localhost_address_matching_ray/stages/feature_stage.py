@@ -169,7 +169,7 @@ class FeatureExtractor:
         # shingle stream: OPH (one binning pass) or classic (one reduceat
         # pass per cache-sized slab), per config.minhash_mode
         flat_sh = np.concatenate(sh_list) if sh_list else np.empty(0, np.uint64)
-        if self.config.minhash_mode == "oph":
+        if self.config.effective_minhash_mode == "oph":
             sig_mat = self.minhasher.oph_signature_batch(flat_sh, n_shingles)
         else:
             sig_mat = self.minhasher.signature_batch(flat_sh, n_shingles)

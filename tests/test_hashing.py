@@ -135,3 +135,31 @@ def test_oph_signature_batch_properties():
 
     with pytest.raises(ValueError):
         MinHasher(num_perm=100).oph_signature_batch(base, np.array([len(base)]))
+
+
+def test_minhash_mode_validation_and_fallback():
+    """Config rejects typo'd minhash_mode; non-power-of-two num_perm under
+    OPH resolves to the classic family everywhere (kernel choice and
+    checkpoint version derive from the same property) instead of crashing
+    a worker mid-extract."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from localhost_address_matching_ray.config import PipelineConfig
+    from localhost_address_matching_ray.stages.feature_stage import FeatureExtractor
+
+    with pytest.raises(ValueError):
+        PipelineConfig(minhash_mode="OPH")
+
+    cfg = PipelineConfig(num_perm=96)  # oph requested, not power of two
+    assert cfg.minhash_mode == "oph"
+    assert cfg.effective_minhash_mode == "classic"
+    assert PipelineConfig(num_perm=128).effective_minhash_mode == "oph"
+
+    fx = FeatureExtractor(cfg)
+    out = fx(pa.table({
+        "row_id": ["a" * 16], "content": ["x y z w"],
+        "lang": ["python"], "stem": ["m"],
+    }))
+    assert len(out["sig"][0].as_py()) == 96 * 8  # classic kernel ran
