@@ -85,6 +85,20 @@ def _unique_pairs(arr: np.ndarray) -> np.ndarray:
     return a[keep]
 
 
+def _unique_pairs_flat(pu: np.ndarray, pv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """:func:`_unique_pairs` over two FLAT uint64 columns, returning flat
+    columns — skips the interleaved (n, 2) stack/gather copies (measured
+    ~40% of the driver dedup at 21M pairs on the 1M soak)."""
+    n = len(pu)
+    if n <= 1:
+        return pu, pv
+    key = pu * np.uint64(0x9E3779B97F4A7C15) ^ pv * np.uint64(0xC2B2AE3D27D4EB4F)
+    order = np.argsort(key)
+    pu, pv = pu[order], pv[order]
+    keep = np.concatenate(([True], (pu[1:] != pu[:-1]) | (pv[1:] != pv[:-1])))
+    return pu[keep], pv[keep]
+
+
 def _hex16_to_u64(ids: list[str]) -> np.ndarray:
     """row_id (16 hex chars, sha256 prefix) → uint64; big-endian view keeps
     lexicographic order, so u64 compares == string compares."""
@@ -410,12 +424,16 @@ def _distinct_pairs_shuffle(
 def _pairs_dataset(arr: np.ndarray) -> ray.data.Dataset:
     """(n, 2) uint64 → a Dataset split into multiple blocks so scoring
     parallelizes (a single from_arrow table would be one block = one task)."""
-    n = len(arr)
+    return _pairs_dataset_flat(arr[:, 0], arr[:, 1])
+
+
+def _pairs_dataset_flat(pu: np.ndarray, pv: np.ndarray) -> ray.data.Dataset:
+    n = len(pu)
     step = max(65536, -(-n // 64))
     tables = [
         pa.table({
-            "pu": pa.array(arr[i : i + step, 0], pa.uint64()),
-            "pv": pa.array(arr[i : i + step, 1], pa.uint64()),
+            "pu": pa.array(np.ascontiguousarray(pu[i : i + step]), pa.uint64()),
+            "pv": pa.array(np.ascontiguousarray(pv[i : i + step]), pa.uint64()),
         })
         for i in range(0, n, step)
     ]
@@ -447,15 +465,12 @@ def verify_edges(
         distinct = _distinct_pairs_shuffle(pairs, config.census_buckets)
         return _verify_join(distinct, features, config)
     ptbls = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows > 0]
-    arr = _unique_pairs(np.concatenate([
-        np.stack([
-            t["pu"].to_numpy(zero_copy_only=False),
-            t["pv"].to_numpy(zero_copy_only=False),
-        ], axis=1)
-        for t in ptbls
-    ]))
-    involved = np.unique(arr)
-    distinct = _pairs_dataset(arr)
+    pu, pv = _unique_pairs_flat(
+        np.concatenate([t["pu"].to_numpy(zero_copy_only=False) for t in ptbls]),
+        np.concatenate([t["pv"].to_numpy(zero_copy_only=False) for t in ptbls]),
+    )
+    involved = np.unique(np.concatenate([pu, pv]))
+    distinct = _pairs_dataset_flat(pu, pv)
     if len(involved) <= config.verify_broadcast_max_rows:
         return _verify_broadcast(distinct, features, involved, config)
     logger.info(
