@@ -803,10 +803,14 @@ def q5_region_revenue(sf_dir: str) -> ray.data.Dataset:
     def tag_orders(t: pa.Table) -> pa.Table:
         d = ray.get(dim_ref)
         ck = t["o_custkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(d["ck"], ck)
+        # clamp + membership mask (mirrors q3's keep_building): an o_custkey
+        # missing from customer is dropped — the SQL inner join's semantics —
+        # instead of inheriting a neighboring customer's region code
+        pos = np.minimum(np.searchsorted(d["ck"], ck), len(d["ck"]) - 1)
+        hit = d["ck"][pos] == ck
         return pa.table({
-            "o_orderkey": t["o_orderkey"],
-            "rcode": pa.array(d["rc"][pos], pa.int32()),
+            "o_orderkey": t["o_orderkey"].filter(pa.array(hit)),
+            "rcode": pa.array(d["rc"][pos[hit]], pa.int32()),
         })
 
     orders_r = orders.map_batches(tag_orders, batch_format="pyarrow")

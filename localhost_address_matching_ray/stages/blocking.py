@@ -231,8 +231,11 @@ class _PayloadEmitter:
                 (key_arr % np.uint64(cfg.census_buckets)).astype(np.int32), pa.int32()
             ),
             "row_id": pa.array([row_ids[i] for i in out_i], pa.string()),
-            "sigp": pa.array(sigp[i_arr] if len(i_arr) else sigp, pa.uint64()),
-            "sigp2": pa.array(sigp2[i_arr] if len(i_arr) else sigp2, pa.uint64()),
+            # i_arr may be empty (all emissions suppressed as singletons);
+            # indexing with an empty int64 array yields the correct 0-row
+            # column, matching block_key/row_id lengths.
+            "sigp": pa.array(sigp[i_arr], pa.uint64()),
+            "sigp2": pa.array(sigp2[i_arr], pa.uint64()),
         })
 
 

@@ -234,10 +234,14 @@ def _doc_band_keyer_factory(num_perm: int, bands: int, k: int,
         sh_list = []
         lens = np.empty(n, dtype=np.int64)
         for i, (t, lg) in enumerate(zip(texts, langs)):
-            # NOTE "".split(" ") == [''] — the historical convention here;
-            # empty docs hash the empty-string token, keeping parity with
-            # the exact-verify tokenization
-            sh = shingle_hashes(t.split(" "), k, th)
+            # shingle-less docs (empty normalized text) emit NO band rows —
+            # parity with the exact verify (_doc_shingles → []) and the SQL
+            # oracle's `shingle IS NOT NULL` exclusion; the old [''] hashing
+            # collided every empty doc into one giant band block
+            sh = (
+                shingle_hashes(t.split(" "), k, th)
+                if t else np.empty(0, np.uint64)
+            )
             sh_list.append(sh)
             lens[i] = len(sh)
             v = langc.get(lg)
@@ -262,10 +266,13 @@ def _doc_band_keyer_factory(num_perm: int, bands: int, k: int,
         K = K ^ (K >> np.uint64(30))
         K = K * _BK_P2
         K = K ^ (K >> np.uint64(27))
-        kh = K.ravel()
+        keep = np.flatnonzero(lens > 0)  # shingle-less docs: no band rows
+        kh = K[keep].ravel()
         return pa.table({
             "doc_id": pa.array(
-                np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), bands),
+                np.repeat(
+                    batch["doc_id"].to_numpy(zero_copy_only=False)[keep], bands
+                ),
                 pa.int64(),
             ),
             "band_key": pa.array(kh, pa.uint64()),
@@ -389,19 +396,29 @@ def minhash_lsh_pairs(
     inv_ref = ray.put(np.sort(involved))
 
     def fetch_shingles(batch: pa.Table) -> pa.Table:
-        """Shingle sets for candidate docs only (sorted-u64 searchsorted)."""
+        """Sorted-unique uint64 shingle hashes for candidate docs only.
+
+        Hash-verify: the shingle→uint64 map (token-hash polynomial,
+        :func:`shingle_hashes`) is injective up to 64-bit collisions, so
+        distinct-hash counts equal distinct-shingle counts and the exact
+        set Jaccard is computed on numpy arrays instead of a broadcast
+        dict-of-string-sets (round-2 verify shipped Python string sets and
+        looped per pair). A collision would perturb one pair's Jaccard by
+        ~1/|union| with probability ~|shingles|²/2⁶⁴ — negligible."""
         keys = ray.get(inv_ref)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         pos = np.minimum(np.searchsorted(keys, ids), len(keys) - 1)
         mask = keys[pos] == ids
         batch = batch.filter(pa.array(mask))
+        th = TokenHasher()
         sh = [
-            sorted(set(_doc_shingles(t, shingle_k)))
+            np.unique(shingle_hashes(normalize_content(t).split(" "), shingle_k, th))
+            if normalize_content(t) else np.empty(0, np.uint64)
             for t in batch["text"].to_pylist()
         ]
         return pa.table({
             "doc_id": batch["doc_id"],
-            "shingles": pa.array(sh, pa.list_(pa.string())),
+            "shingles": pa.array([s.tolist() for s in sh], pa.list_(pa.uint64())),
         })
 
     sh_tbls = [
@@ -412,33 +429,84 @@ def minhash_lsh_pairs(
         )
         if t.num_rows > 0
     ]
-    shingle_of: dict[int, set] = {}
+    # assemble (sorted doc ids, offsets, flat sorted-unique hashes) — numpy
+    # arrays ride plasma zero-copy, unlike a pickled dict of Python sets
+    id_parts, len_parts, val_parts = [], [], []
     for t in sh_tbls:
-        for did, sh in zip(t["doc_id"].to_pylist(), t["shingles"].to_pylist()):
-            shingle_of[did] = set(sh)
-
-    sh_ref = ray.put(shingle_of)
+        col = t["shingles"].combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        id_parts.append(t["doc_id"].to_numpy(zero_copy_only=False))
+        len_parts.append(np.diff(offs))
+        val_parts.append(col.values.to_numpy(zero_copy_only=False).astype(np.uint64))
+    if not id_parts:
+        return ray.data.from_arrow(empty)
+    all_ids = np.concatenate(id_parts)
+    all_lens = np.concatenate(len_parts)
+    all_vals = np.concatenate(val_parts) if val_parts else np.empty(0, np.uint64)
+    starts = np.concatenate(([0], np.cumsum(all_lens)[:-1]))
+    order = np.argsort(all_ids)
+    lens_s = all_lens[order]
+    out_starts = np.concatenate(([0], np.cumsum(lens_s)[:-1]))
+    gather = np.repeat(starts[order] - out_starts, lens_s) + np.arange(
+        int(lens_s.sum()), dtype=np.int64
+    )
+    sh_ref = ray.put((
+        all_ids[order],
+        np.concatenate((out_starts, [int(lens_s.sum())])).astype(np.int64),
+        all_vals[gather],
+    ))
     pairs_ds = ray.data.from_arrow(pa.table({
         "u": pa.array(pairs[:, 0], pa.int64()),
         "v": pa.array(pairs[:, 1], pa.int64()),
     }))
 
     def verify(batch: pa.Table) -> pa.Table:
-        sh = ray.get(sh_ref)
-        us, vs, js = [], [], []
-        for a, b in zip(batch["u"].to_pylist(), batch["v"].to_pylist()):
-            sa, sb = sh.get(a), sh.get(b)
-            if sa is None or sb is None:
-                continue
-            union = len(sa | sb)
-            j = len(sa & sb) / union if union else 1.0
-            if j >= threshold:
-                us.append(a); vs.append(b)
-                js.append(float(duckdb_round(j, 6)))
+        """Exact set Jaccard per candidate pair, fully vectorized: both
+        sides' hash arrays are gathered into one (pair, value) stream;
+        after a lexsort, adjacent equal values within a pair count the
+        intersection (each doc's hashes are unique, so a value appears at
+        most twice per pair). No per-pair Python."""
+        ids, offs, flat = _PROCESS_DOC_STATE.get("lsh_verify", (None,) * 3)
+        if ids is None or _PROCESS_DOC_STATE.get("lsh_verify_ref") != sh_ref.hex():
+            ids, offs, flat = ray.get(sh_ref)
+            _PROCESS_DOC_STATE["lsh_verify"] = (ids, offs, flat)
+            _PROCESS_DOC_STATE["lsh_verify_ref"] = sh_ref.hex()
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        iu = np.minimum(np.searchsorted(ids, u), len(ids) - 1)
+        iv = np.minimum(np.searchsorted(ids, v), len(ids) - 1)
+        lu = offs[iu + 1] - offs[iu]
+        lv = offs[iv + 1] - offs[iv]
+        # drop misses and shingle-less docs (oracle excludes them)
+        ok = (ids[iu] == u) & (ids[iv] == v) & (lu > 0) & (lv > 0)
+        u, v, iu, iv, lu, lv = u[ok], v[ok], iu[ok], iv[ok], lu[ok], lv[ok]
+        n_pairs = len(u)
+        if n_pairs == 0:
+            return empty
+
+        def gather_side(ii: np.ndarray, ll: np.ndarray) -> np.ndarray:
+            tot = int(ll.sum())
+            outs = np.concatenate(([0], np.cumsum(ll)[:-1]))
+            return flat[
+                np.repeat(offs[ii] - outs, ll) + np.arange(tot, dtype=np.int64)
+            ]
+
+        seg = np.concatenate((np.repeat(np.arange(n_pairs), lu),
+                              np.repeat(np.arange(n_pairs), lv)))
+        val = np.concatenate((gather_side(iu, lu), gather_side(iv, lv)))
+        o = np.lexsort((val, seg))
+        seg, val = seg[o], val[o]
+        dup = (seg[1:] == seg[:-1]) & (val[1:] == val[:-1])
+        inter = np.bincount(seg[1:][dup], minlength=n_pairs)
+        union = lu + lv - inter
+        jac = inter / union
+        keep = np.flatnonzero(jac >= threshold)
         return pa.table({
-            "u": pa.array(us, pa.int64()),
-            "v": pa.array(vs, pa.int64()),
-            "jaccard": pa.array(js, pa.float64()),
+            "u": pa.array(u[keep], pa.int64()),
+            "v": pa.array(v[keep], pa.int64()),
+            "jaccard": pa.array(
+                [float(duckdb_round(float(jac[i]), 6)) for i in keep], pa.float64()
+            ),
         })
 
     return pairs_ds.map_batches(verify, batch_format="pyarrow", batch_size=8192)

@@ -256,8 +256,16 @@ def _scorer_factory(bundle_ref, config: PipelineConfig):
         ids, sigs, stems = bundle
         pu = batch["pu"].to_numpy(zero_copy_only=False)
         pv = batch["pv"].to_numpy(zero_copy_only=False)
-        iu = np.searchsorted(ids, pu)
-        iv = np.searchsorted(ids, pv)
+        # clamp + mask: a candidate id absent from the fetched bundle is
+        # DROPPED (same behavior as the join path) instead of raising
+        # IndexError / silently scoring a neighboring row's signature
+        iu = np.minimum(np.searchsorted(ids, pu), len(ids) - 1)
+        iv = np.minimum(np.searchsorted(ids, pv), len(ids) - 1)
+        hit = (ids[iu] == pu) & (ids[iv] == pv)
+        if not hit.all():
+            pu, pv, iu, iv = pu[hit], pv[hit], iu[hit], iv[hit]
+            if len(pu) == 0:
+                return pa.table(_EMPTY_EDGES)
         est = (sigs[iu] == sigs[iv]).mean(axis=1)
         accept = est >= threshold
         # Jaro-Winkler stem assist on the borderline band only (few pairs);

@@ -103,6 +103,26 @@ def test_suggest_matches(linkage_result, small_fixture_tables):
     assert suggest_matches(linkage_result, "nonexistent-row", k=3) == []
 
 
+def test_duplicate_free_corpus_links_clean():
+    """Regression: a corpus with NO duplicate keys must link without error.
+
+    With singleton_suppression=True (the default) every key emission is
+    suppressed, so _PayloadEmitter batches produce zero block rows; the
+    emitter previously emitted full-batch sigp/sigp2 columns alongside 0-row
+    key columns (ArrowInvalid: 'expected length 0 but got length N')."""
+    tables = generate_corpus(CorpusSpec(
+        n_base=30, seed=11, p_exact=0, p_whitespace=0, p_comment=0,
+        p_rename=0, p_minor_edit=0, p_hard_negative=0,
+    ))
+    res = link_corpus(
+        ray.data.from_arrow(tables["corpus"]), PipelineConfig(feature_concurrency=2)
+    )
+    clusters = res["clusters"].take_all()
+    assert len(clusters) == tables["corpus"].num_rows
+    # no duplicates planted → every row is its own cluster
+    assert len({r["cluster_id"] for r in clusters}) == len(clusters)
+
+
 def test_salting_path_clusters_hot_key():
     """A giant exact-dup cluster above max_block_rows still comes out as one
     cluster (rep-bridge correctness), via the salted sub-block path."""
