@@ -278,39 +278,107 @@ def cosine_pairs(
     )
 
 
-class _HyperplaneBucketer:
-    """Actor: random-hyperplane LSH bucket keys for cosine similarity.
+_LSH_P1 = np.uint64(0x9E3779B97F4A7C15)
+_LSH_P2 = np.uint64(0xBF58476D1CE4E5B9)
+_LSH_P3 = np.uint64(0x94D049BB133111EB)
+
+#: per-worker-process cache of the current broadcast embedding bundle
+#: (one entry, cleared on replacement — same policy as pairs._PROCESS_BUNDLES)
+_PROCESS_EMB: dict = {}
+
+
+def _cached_bundle(ref):
+    key = ref.hex()
+    val = _PROCESS_EMB.get(key)
+    if val is None:
+        _PROCESS_EMB.clear()
+        val = _PROCESS_EMB[key] = ray.get(ref)
+    return val
+
+
+class _HyperplaneKeyer:
+    """Actor: random-hyperplane LSH bucket keys for cosine similarity —
+    KEY-ONLY emission (the flagship/doc-LSH lesson: vectors never ride the
+    band shuffle; round 2 shipped the full float32 vector on every one of
+    ``n_tables`` band rows — 64× payload amplification at the registered
+    config).
 
     ``n_planes`` sign bits per table × ``n_tables`` tables (fixed-seed
     hyperplanes, identical on every worker). Two vectors with cosine ≥ t
     share a bucket in at least one table with probability
-    1 − (1 − (1 − θ/π)^n_planes)^n_tables.
+    1 − (1 − (1 − θ/π)^n_planes)^n_tables. Each row emits ``n_tables``
+    rows of (vec_id, bucket_key uint64, bucket) — 20 B — built in one
+    vectorized pass (sign matmul → power-of-two dot → splitmix finalize).
     """
 
     def __init__(self, dim: int, n_planes: int = 12, n_tables: int = 8, seed: int = 97) -> None:
         rng = np.random.RandomState(seed)
         self.planes = rng.randn(n_tables, n_planes, dim)
         self.n_tables = n_tables
+        self._pw = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _emb_matrix(batch)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        # vectors ride the shuffle as float32 bytes (pyarrow joins reject
-        # list-typed payloads; binary also halves the bytes)
-        vec_bytes = [m[i].astype(np.float32).tobytes() for i in range(len(ids))]
-        out_ids, out_keys, out_vecs = [], [], []
+        n = len(ids)
+        keys = np.empty((self.n_tables, n), dtype=np.uint64)
         for t in range(self.n_tables):
-            signs = (m @ self.planes[t].T) > 0  # (n, n_planes)
-            keys = np.packbits(signs, axis=1)
-            for i, kb in enumerate(keys):
-                out_ids.append(int(ids[i]))
-                out_keys.append(f"{t}:{kb.tobytes().hex()}")
-                out_vecs.append(vec_bytes[i])
+            signs = ((m @ self.planes[t].T) > 0).astype(np.uint64)  # (n, n_planes)
+            code = signs @ self._pw
+            k = (code + np.uint64(1)) * _LSH_P1 ^ np.uint64(t + 1) * _LSH_P3
+            k ^= k >> np.uint64(30)
+            k *= _LSH_P2
+            k ^= k >> np.uint64(27)
+            keys[t] = k
+        kh = keys.ravel()
         return pa.table({
-            "vec_id": pa.array(out_ids, pa.int64()),
-            "bucket_key": pa.array(out_keys, pa.string()),
-            "vec": pa.array(out_vecs, pa.binary()),
+            "vec_id": pa.array(np.tile(ids, self.n_tables), pa.int64()),
+            "bucket_key": pa.array(kh, pa.uint64()),
+            "bucket": pa.array((kh % np.uint64(64)).astype(np.int32), pa.int32()),
         })
+
+
+def _dedup_pairs_max_score(raw: ray.data.Dataset, buckets: int = 64) -> ray.data.Dataset:
+    """Distinct (u, v) keeping the MAX score — the pair-hash bucket idiom
+    (``pairs.py:393-421``) instead of a high-cardinality
+    ``groupby(["u","v"])`` (Ray's per-key groupby floor)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("pb", pa.array([], pa.int32()))
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = ((u * _LSH_P1 ^ v * _LSH_P3) % np.uint64(buckets)).astype(np.int32)
+        return t.append_column("pb", pa.array(pb, pa.int32()))
+
+    def dedup(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        u = g["u"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        s = g["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-s, v, u))  # (u, v) asc, score desc
+        u, v, s = u[order], v[order], s[order]
+        keep = np.concatenate(([True], (u[1:] != u[:-1]) | (v[1:] != v[:-1])))
+        return pa.table({
+            "u": pa.array(u[keep], pa.int64()),
+            "v": pa.array(v[keep], pa.int64()),
+            "score": pa.array(s[keep], pa.float64()),
+        })
+
+    return raw.map_batches(tag, batch_format="pyarrow").groupby("pb").map_groups(
+        dedup, batch_format="pyarrow"
+    )
+
+
+#: lsh_cosine_pairs broadcasts the (sorted ids, float32 matrix) bundle once
+#: via ray.put; above this row count the broadcast no longer fits a worker
+#: heap and IVF is the right structure anyway.
+LSH_BROADCAST_MAX_ROWS = 2_000_000
 
 
 def lsh_cosine_pairs(
@@ -319,56 +387,119 @@ def lsh_cosine_pairs(
     n_planes: int = 12,
     n_tables: int = 8,
     concurrency: int | None = None,
+    max_rows: int | None = None,
+    max_bucket_rows: int = 8192,
 ) -> ray.data.Dataset:
     """LSH-bucketed cosine near-dup pairs — the scale path for
-    :func:`cosine_pairs`: cost is O(rows·tables) emission + per-bucket
-    pairwise verification, never a driver-side all-pairs. Candidates are
-    verified with the exact (rounded) cosine, so precision is exact and
-    recall is the union bound 1 − (1 − (1 − θ/π)^n_planes)^n_tables.
+    :func:`cosine_pairs`: cost is O(rows·tables) key-only emission (20 B per
+    band row) + per-key-run pairwise verification against a BROADCAST
+    vector bundle (``ray.put`` once, fetched once per worker process — no
+    vector bytes ever enter the shuffle), then a bucketed pair-hash
+    max-score dedup. Precision is exact (every emitted pair is rescored
+    with the exact rounded cosine); recall is the union bound
+    1 − (1 − (1 − θ/π)^n_planes)^n_tables.
 
     Parameter trade (documented, per-query choice): few planes + many tables
     (4×64) drives per-pair miss to ~1e-6 even at low thresholds — the
     recall-tuned config the oracled queries use; more planes (8×32, the
     registered ``embedding_lsh_pairs`` config) bounds bucket sizes for a
     large corpus at the price of recall for low-cosine pairs (~63% AT the
-    0.45 threshold, rising fast with cosine). For
-    genuinely low thresholds at scale, the right structure is IVF
-    (coarse-quantize then probe neighboring cells), not hyperplane LSH."""
-    from localhost_address_matching_ray.config import default_pool_size
-    from ray.data.aggregate import Max
+    0.45 threshold, rising fast with cosine).
 
-    sample = embeddings.take(1)
-    dim = len(sample[0]["embedding"])
-    buckets = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
-        _HyperplaneBucketer, fn_constructor_args=(dim, n_planes, n_tables),
+    Ceilings (the stated-cap philosophy): the vector broadcast refuses
+    corpora above ``LSH_BROADCAST_MAX_ROWS`` (n·dim·4 B must fit a worker
+    heap) — beyond it use :func:`ivf_cosine_pairs`, whose per-cell
+    structure needs no global broadcast; key runs above ``max_bucket_rows``
+    are truncated with a warning (a run that large means near-identical
+    vectors; the remaining tables cover the ring)."""
+    import logging
+
+    from localhost_address_matching_ray.config import default_pool_size
+
+    logger = logging.getLogger(__name__)
+    emb = embeddings.select_columns(["vec_id", "embedding"]).materialize()
+    n_rows = emb.count()
+    cap = LSH_BROADCAST_MAX_ROWS if max_rows is None else max_rows
+    if n_rows > cap:
+        raise ValueError(
+            f"lsh_cosine_pairs broadcasts the vector bundle and refuses "
+            f"{n_rows} rows (cap {cap}); use ivf_cosine_pairs (per-cell "
+            f"structure, no global broadcast) at this scale."
+        )
+    full = pa.concat_tables(
+        [t for t in ray.get(emb.to_arrow_refs()) if t.num_rows > 0]
+    )
+    ids_all = full["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids_all)
+    mat = _emb_matrix(full).astype(np.float32)[order]
+    bundle_ref = ray.put((ids_all[order], mat))
+    dim = mat.shape[1]
+
+    keyed = emb.map_batches(
+        _HyperplaneKeyer, fn_constructor_args=(dim, n_planes, n_tables),
         batch_format="pyarrow", batch_size=4096,
         concurrency=default_pool_size(concurrency), num_cpus=1,
     )
 
     def verify_bucket(group: pa.Table) -> pa.Table:
-        k = group.num_rows
+        """One 64-way bucket of (vec_id, bucket_key) rows: runs of equal key
+        are found by numpy diff (no per-key groupby); each run gathers its
+        vectors from the broadcast bundle and does one exact cosine matrix."""
         empty = pa.table({
             "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
             "score": pa.array([], pa.float64()),
         })
-        if k < 2:
+        n = group.num_rows
+        if n < 2:
             return empty
-        ids = group["vec_id"].to_numpy(zero_copy_only=False)
-        m = np.frombuffer(b"".join(group["vec"].to_pylist()), dtype=np.float32)
-        m = m.reshape(k, dim).astype(np.float64)
-        sims = _cosine_matrix(m, m)
-        iu = np.triu_indices(k, 1)
-        mask = (sims[iu] >= threshold) & (ids[iu[0]] != ids[iu[1]])
-        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        ids_s, m_s = _cached_bundle(bundle_ref)
+        kh = group["bucket_key"].to_numpy(zero_copy_only=False)
+        vids = group["vec_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((vids, kh))
+        kh, vids = kh[o], vids[o]
+        bounds = np.flatnonzero(np.diff(kh)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n]))
+        chunks = []
+        for s0, e0 in zip(starts, ends):
+            k = e0 - s0
+            if k < 2:
+                continue
+            if k > max_bucket_rows:
+                logger.warning(
+                    "lsh_cosine bucket overflow: %d rows > %d — truncated "
+                    "(near-identical vectors; remaining tables cover the ring)",
+                    k, max_bucket_rows,
+                )
+                e0 = s0 + max_bucket_rows
+                k = max_bucket_rows
+            run = vids[s0:e0]
+            pos = np.searchsorted(ids_s, run)
+            sub = m_s[pos].astype(np.float64)
+            sims = _cosine_matrix(sub, sub)
+            iu = np.triu_indices(k, 1)
+            mask = (sims[iu] >= threshold) & (run[iu[0]] != run[iu[1]])
+            if not mask.any():
+                continue
+            a, b = run[iu[0][mask]], run[iu[1][mask]]
+            chunks.append((np.minimum(a, b), np.maximum(a, b), sims[iu][mask]))
+        if not chunks:
+            return empty
+        u = np.concatenate([c[0] for c in chunks])
+        v = np.concatenate([c[1] for c in chunks])
+        s = np.concatenate([c[2] for c in chunks])
+        # in-bucket dedup (same pair via several tables): keep max score
+        o2 = np.lexsort((-s, v, u))
+        u, v, s = u[o2], v[o2], s[o2]
+        keep = np.concatenate(([True], (u[1:] != u[:-1]) | (v[1:] != v[:-1])))
         return pa.table({
-            "u": pa.array(lo, pa.int64()),
-            "v": pa.array(hi, pa.int64()),
-            "score": pa.array(sims[iu][mask], pa.float64()),
+            "u": pa.array(u[keep], pa.int64()),
+            "v": pa.array(v[keep], pa.int64()),
+            "score": pa.array(s[keep], pa.float64()),
         })
 
-    raw = buckets.groupby("bucket_key").map_groups(verify_bucket, batch_format="pyarrow")
-    return raw.groupby(["u", "v"]).aggregate(Max("score", alias_name="score"))
+    raw = keyed.groupby("bucket").map_groups(verify_bucket, batch_format="pyarrow")
+    return _dedup_pairs_max_score(raw)
 
 
 def _centroid_sample(embeddings: ray.data.Dataset, sample_cap: int) -> pa.Table:
@@ -446,8 +577,6 @@ def ivf_cosine_pairs(
     recall (empirically ≈1 at moderate thresholds), exact precision —
     rows-only checked, with the brute-force cross-check in tests.
     """
-    from ray.data.aggregate import Max
-
     sample_tbl = _centroid_sample(embeddings, sample_cap)
     dim = len(sample_tbl["embedding"][0])
     cent = _spherical_kmeans(_emb_matrix(sample_tbl), n_cells, seed=seed)
@@ -495,4 +624,7 @@ def ivf_cosine_pairs(
         })
 
     raw = assigned.groupby("cell").map_groups(verify_cell, batch_format="pyarrow")
-    return raw.groupby(["u", "v"]).aggregate(Max("score", alias_name="score"))
+    # a pair straddling probed cells is found in several cells whose gemms
+    # can differ in the last ulp — keep max, via the bucketed idiom (not a
+    # high-cardinality pair-key groupby)
+    return _dedup_pairs_max_score(raw)
