@@ -189,11 +189,18 @@ def scaling() -> None:
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
     rounds = []
     for i in range(repeats):
+        # co-tenant load sample (1-min loadavg) brackets each round so a
+        # weather-skewed ratio is diagnosable from the JSON alone
+        load0 = os.getloadavg()[0]
         r_lo, r_hi = run_once(lo), run_once(hi)
+        load1 = os.getloadavg()[0]
         eff = (r_hi["rows_per_sec"] / r_lo["rows_per_sec"]) / (hi / lo)
-        rounds.append({"r_lo": r_lo, "r_hi": r_hi, "eff": eff})
+        rounds.append({
+            "r_lo": r_lo, "r_hi": r_hi, "eff": eff,
+            "loadavg": [round(load0, 2), round(load1, 2)],
+        })
         print(f"# round {i}: lo={r_lo['value']}s hi={r_hi['value']}s "
-              f"eff={eff:.3f}", file=sys.stderr)
+              f"eff={eff:.3f} loadavg={load0:.1f}->{load1:.1f}", file=sys.stderr)
     # lower-middle for even N (rounds[n//2] would be the MAX of two — the
     # best-of bias again); report efficiencies in RUN order so box-weather
     # drift stays diagnosable from the JSON
@@ -206,6 +213,7 @@ def scaling() -> None:
         "rows_per_sec_hi": med["r_hi"]["rows_per_sec"],
         "scaling_efficiency": round(med["eff"], 3),
         "round_efficiencies": [round(r["eff"], 3) for r in rounds],
+        "round_loadavg": [r["loadavg"] for r in rounds],
     }))
 
 

@@ -77,6 +77,79 @@ def pairwise_f1(clusters: ray.data.Dataset, labeled_pairs: pa.Table) -> Pairwise
     return PairwiseReport(tp, fp, fn, tn, per_class)
 
 
+def _bio_entities(tags: list[str]) -> set[tuple[int, int, str]]:
+    """Entity spans (start_tok, end_tok_exclusive, type) from one BIO tag
+    sequence — seqeval's strict span extraction: an entity starts at B-X
+    (or a bare I-X after O / a different type, seqeval's lenient-start
+    convention is NOT applied: we require B- starts, matching the tagger's
+    own emission) and extends through consecutive I-X."""
+    ents: set[tuple[int, int, str]] = set()
+    start, typ = None, None
+    for i, tag in enumerate(tags + ["O"]):
+        if tag.startswith("B-") or tag == "O" or (
+            tag.startswith("I-") and typ is not None and tag[2:] != typ
+        ):
+            if typ is not None:
+                ents.add((start, i, typ))
+                start, typ = None, None
+            if tag.startswith("B-"):
+                start, typ = i, tag[2:]
+        elif tag.startswith("I-") and typ is None:
+            # stray I- without a B- opener: not an entity (strict mode)
+            pass
+    return ents
+
+
+def tagger_report(
+    pred_tags: list[list[str]], gold_tags: list[list[str]]
+) -> dict:
+    """Per-entity-type P/R/F1 + micro/macro over aligned BIO tag sequences —
+    the reference's seqeval harness analog (training nb cells 21, 26-28):
+    strict span-level matching (an entity counts only if type AND both
+    boundaries agree). Returns
+    ``{"per_label": {type: {precision, recall, f1, support}},
+    "micro": {...}, "macro": {...}}``."""
+    if len(pred_tags) != len(gold_tags):
+        raise ValueError(
+            f"pred/gold length mismatch: {len(pred_tags)} vs {len(gold_tags)}"
+        )
+    tp: dict[str, int] = {}
+    fp: dict[str, int] = {}
+    fn: dict[str, int] = {}
+    for pseq, gseq in zip(pred_tags, gold_tags):
+        p = _bio_entities(pseq)
+        g = _bio_entities(gseq)
+        for _, _, t in p & g:
+            tp[t] = tp.get(t, 0) + 1
+        for _, _, t in p - g:
+            fp[t] = fp.get(t, 0) + 1
+        for _, _, t in g - p:
+            fn[t] = fn.get(t, 0) + 1
+
+    def prf(tp_, fp_, fn_) -> dict:
+        prec = tp_ / (tp_ + fp_) if (tp_ + fp_) else 0.0
+        rec = tp_ / (tp_ + fn_) if (tp_ + fn_) else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
+        return {"precision": prec, "recall": rec, "f1": f1,
+                "support": tp_ + fn_}
+
+    labels = sorted(set(tp) | set(fp) | set(fn))
+    per_label = {
+        t: prf(tp.get(t, 0), fp.get(t, 0), fn.get(t, 0)) for t in labels
+    }
+    micro = prf(sum(tp.values()), sum(fp.values()), sum(fn.values()))
+    macro = {
+        "precision": sum(d["precision"] for d in per_label.values()) / len(per_label)
+        if per_label else 0.0,
+        "recall": sum(d["recall"] for d in per_label.values()) / len(per_label)
+        if per_label else 0.0,
+        "f1": sum(d["f1"] for d in per_label.values()) / len(per_label)
+        if per_label else 0.0,
+        "support": micro["support"],
+    }
+    return {"per_label": per_label, "micro": micro, "macro": macro}
+
+
 def explain_pair(result: dict[str, ray.data.Dataset], left_id: str, right_id: str) -> dict:
     """Debug report for one pair: normalized fields, feature presence,
     estimated similarity, cluster assignments — the analog of the static

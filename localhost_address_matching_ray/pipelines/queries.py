@@ -979,26 +979,48 @@ WITH e AS (
   FROM events)
 SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM e GROUP BY user_id""",
-    "sessionization (30-min gap) via per-user sorted map_groups — the "
-    "partitioned-log window pattern (ordering assumption: ts within user)",
+    "sessionization (30-min gap) via BUCKETED groupby — hash(user)%64 keeps "
+    "the shuffle at 64 groups (Ray's per-key groupby floor bites at real "
+    "user counts); per-user session runs are detected vectorized inside the "
+    "bucket (one lexsort + diff/reduceat pass, no per-user Python)",
 )
 def events_user_sessions(sf_dir: str) -> ray.data.Dataset:
     ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    gap_us = 30 * 60 * 1_000_000
 
-    def sessions(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(
-            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        ts = g["ts"].take(order).to_numpy(zero_copy_only=False)
-        gaps = np.diff(ts.astype("datetime64[us]").astype(np.int64))
-        n_sessions = 1 + int((gaps > 30 * 60 * 1_000_000).sum())
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = uid * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(33)
+        return t.append_column("ub", pa.array((h % np.uint64(64)).astype(np.int32)))
+
+    def sessions_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_sessions": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+            })
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        gap = np.concatenate(([0], np.diff(ts)))
+        brk = (new_user | (gap > gap_us)).astype(np.int64)
+        starts = np.flatnonzero(new_user)
         return pa.table({
-            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
-            "n_sessions": pa.array([n_sessions], pa.int64()),
-            "n_events": pa.array([g.num_rows], pa.int64()),
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "n_sessions": pa.array(np.add.reduceat(brk, starts), pa.int64()),
+            "n_events": pa.array(
+                np.diff(np.concatenate((starts, [len(uid)]))), pa.int64()
+            ),
         })
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    return ev.map_batches(tag, batch_format="pyarrow").groupby("ub").map_groups(
+        sessions_bucket, batch_format="pyarrow"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1257,27 +1279,47 @@ def corpus_parse_paths(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(parse, batch_format="pyarrow", batch_size=4096)
 
 
-@register("doc_token_spans", None,
-          "M12 analog: whitespace tokens with char offsets as a native Arrow "
-          "list<struct<tok,start,end>> column (nested types stay in pyarrow "
-          "batch format — no JSON strings; rows-only check: nested output)")
+@register(
+    "doc_token_spans",
+    r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tl,
+         string_split_regex(text, '\S+') AS wl
+  FROM documents),
+tok AS (
+  SELECT doc_id, tl, wl, unnest(tl) AS tok, generate_subscripts(tl, 1) AS pos
+  FROM toks),
+off AS (
+  SELECT doc_id, pos, tok,
+    CAST(coalesce(list_sum(list_transform(wl[1:pos], x -> length(x))), 0)
+       + coalesce(list_sum(list_transform(tl[1:pos-1], x -> length(x))), 0)
+       AS BIGINT) AS start
+  FROM tok)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok, start,
+       start + length(tok) AS "end"
+FROM off""",
+    "M12 analog: whitespace tokens with char offsets, one flat row per token "
+    "(SQL mirror reconstructs offsets from the inter-token whitespace chunks "
+    "via prefix sums — string_split_regex gives the whitespace segments)",
+)
 def doc_token_spans(sf_dir: str) -> ray.data.Dataset:
     import re
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     tok_re = re.compile(r"\S+")
-    span_t = pa.struct([("tok", pa.string()), ("start", pa.int32()), ("end", pa.int32())])
 
     def spans(t: pa.Table) -> pa.Table:
-        out = []
-        for text in t["text"].to_pylist():
-            out.append([
-                {"tok": m.group(0), "start": m.start(), "end": m.end()}
-                for m in tok_re.finditer(text)
-            ])
+        dids, poss, toks, starts, ends = [], [], [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for i, m in enumerate(tok_re.finditer(text), 1):
+                dids.append(did); poss.append(i); toks.append(m.group(0))
+                starts.append(m.start()); ends.append(m.end())
         return pa.table({
-            "doc_id": t["doc_id"],
-            "spans": pa.array(out, pa.list_(span_t)),
+            "doc_id": pa.array(dids, pa.int64()),
+            "pos": pa.array(poss, pa.int64()),
+            "tok": pa.array(toks, pa.string()),
+            "start": pa.array(starts, pa.int64()),
+            "end": pa.array(ends, pa.int64()),
         })
 
     return docs.map_batches(spans, batch_format="pyarrow", batch_size=4096)
@@ -1342,14 +1384,85 @@ def doc_entity_tags(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-@register("doc_entity_spans", None,
-          "M14 entity spans as native Arrow list<struct<type,text,start,end>> "
-          "(nested output → rows-only check)")
+@register(
+    "doc_entity_spans",
+    r"""
+WITH toks AS (
+  SELECT doc_id, text, regexp_extract_all(text, '\S+') AS tl,
+         string_split_regex(text, '\S+') AS wl
+  FROM documents),
+tok AS (
+  SELECT doc_id, text, tl, wl, unnest(tl) AS tok,
+         generate_subscripts(tl, 1) AS pos
+  FROM toks),
+off AS (
+  SELECT doc_id, text, pos, tok,
+    CAST(coalesce(list_sum(list_transform(wl[1:pos], x -> length(x))), 0)
+       + coalesce(list_sum(list_transform(tl[1:pos-1], x -> length(x))), 0)
+       AS BIGINT) AS tstart
+  FROM tok),
+typ AS (
+  SELECT doc_id, text, pos, tok, tstart, tstart + length(tok) AS tend,
+    CASE WHEN regexp_matches(tok, '^[0-9]+$') THEN 'NUM'
+         WHEN regexp_matches(tok, '^https?://') THEN 'URL'
+         WHEN regexp_matches(tok, '^[^@\s]+@[^@\s]+\.[^@\s]+$') THEN 'EMAIL'
+         WHEN regexp_matches(tok, '^[A-Z][A-Z0-9_]{2,}$') THEN 'CONST'
+         WHEN regexp_matches(tok, '^[a-z]+([A-Z][a-z0-9]*)+$') THEN 'CAMEL'
+         WHEN regexp_matches(tok, '^[a-z]{6,}$') THEN 'LONGW'
+         ELSE 'O' END AS typ
+  FROM off),
+bio AS (
+  SELECT doc_id, text, pos, tstart, tend, typ,
+    CASE WHEN typ <> 'O' AND (lag(typ) OVER w IS DISTINCT FROM typ)
+         THEN 1 ELSE 0 END AS is_b
+  FROM typ WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+ent AS (
+  SELECT doc_id, text, pos, tstart, tend, typ,
+         sum(is_b) OVER (PARTITION BY doc_id ORDER BY pos) AS eid
+  FROM bio)
+SELECT doc_id, CAST(eid AS BIGINT) AS ent_idx, min(typ) AS type,
+       substr(any_value(text), CAST(min(tstart) + 1 AS BIGINT),
+              CAST(max(tend) - min(tstart) AS BIGINT)) AS text,
+       min(tstart) AS start, max(tend) AS "end"
+FROM ent WHERE typ <> 'O'
+GROUP BY doc_id, eid""",
+    "M14 entity spans exploded to one flat row per entity (type, raw text "
+    "slice, char offsets) with an exact SQL mirror — the doc_entity_tags "
+    "rule CASE extended with a LONGW rule via the tagger's custom-rules "
+    "surface (the synthetic docs contain no default-rule tokens), plus the "
+    "token-offset prefix-sum reconstruction",
+)
 def doc_entity_spans(sf_dir: str) -> ray.data.Dataset:
-    from localhost_address_matching_ray.stages.tagger import tag_documents
+    from localhost_address_matching_ray.stages.tagger import (
+        DEFAULT_RULES,
+        tag_documents,
+    )
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return tag_documents(docs).select_columns(["doc_id", "entities"])
+    rules = DEFAULT_RULES + [("LONGW", r"^[a-z]{6,}$")]
+    tagged = tag_documents(docs, rules=rules).select_columns(
+        ["doc_id", "entities"]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t["entities"].combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        vals = col.values  # struct array, entity order within doc = list order
+        dids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        ent_idx = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            offs[:-1], lens
+        ) + 1
+        return pa.table({
+            "doc_id": pa.array(dids, pa.int64()),
+            "ent_idx": pa.array(ent_idx, pa.int64()),
+            "type": vals.field("type"),
+            "text": vals.field("text"),
+            "start": vals.field("start").cast(pa.int64()),
+            "end": vals.field("end").cast(pa.int64()),
+        })
+
+    return tagged.map_batches(explode, batch_format="pyarrow", batch_size=4096)
 
 
 @register(

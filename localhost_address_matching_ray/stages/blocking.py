@@ -58,6 +58,12 @@ def _salted(kh: np.uint64 | int, salt: int) -> int:
     return int(x ^ (x >> np.uint64(31)))
 
 
+def _salted_arr(kh: np.ndarray, salt: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`_salted` over uint64 arrays."""
+    x = (kh + salt + np.uint64(1)) * _MIX
+    return x ^ (x >> np.uint64(31))
+
+
 def _stable_bucket(row_id: str, buckets: int) -> int:
     return int.from_bytes(hashlib.sha1(row_id.encode()).digest()[:4], "big") % buckets
 
@@ -147,27 +153,35 @@ def find_multi_keys(block_sizes: ray.data.Dataset) -> np.ndarray:
 
 
 class _PayloadEmitter:
-    """Pass 2: (block_key, bucket, row_id, sigp) with salting — KEY-ONLY
+    """Pass 2: (block_key, bucket, rid, sigp, sigp2) with salting — KEY-ONLY
     emission (candidates-then-verify: signatures are fetched for surviving
-    candidate pairs in a separate narrow pass, so the blocking shuffle ships
-    ~36 B per key emission instead of ~160 B with the folded signature).
-    ``sigp`` is the first 8 bytes of sig8 as one uint64 — a sort proxy that
-    makes exact-duplicate rows adjacent inside large blocks so the windowed
-    candidate generation finds them without all-pairs. Plain callable used as
-    a stateless task fn — the broadcast hot dict rides the object store
-    (``ray.get`` of the same ref is cached per worker)."""
+    candidate pairs in a separate narrow pass). ``rid`` is the 16-hex row_id
+    as ONE uint64 (big-endian view preserves lexicographic order), so a key
+    emission ships 28 B instead of 36 B with the string id — the blocking
+    shuffle is the pipeline's largest, so the shrink is wall-clock.
+    ``sigp``/``sigp2`` are the first 16 bytes of sig8 as two uint64s — a
+    sort proxy that makes exact-duplicate rows adjacent inside large blocks
+    so the windowed candidate generation finds them without all-pairs, and
+    the large-block screen's compare bytes. Plain callable used as a
+    stateless task fn — broadcast hot/multi arrays ride the object store
+    (``ray.get`` of the same ref is cached per worker). Fully vectorized,
+    including the hot-key salting path (splitmix sub-bucket of rid)."""
 
     def __init__(self, config: PipelineConfig, hot_ref, multi_ref=None) -> None:
         self.config = config
         self._hot_ref = hot_ref
-        self._hot: dict[int, int] | None = None
+        self._hot: tuple[np.ndarray, np.ndarray] | None = None
         self._multi_ref = multi_ref
         self._multi: np.ndarray | None = None
 
     @property
-    def hot(self) -> dict[int, int]:
+    def hot(self) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted hot-key array, matching sizes) — empty when nothing is hot."""
         if self._hot is None:
-            self._hot = ray.get(self._hot_ref) if self._hot_ref is not None else {}
+            if self._hot_ref is None:
+                self._hot = (np.empty(0, np.uint64), np.empty(0, np.int64))
+            else:
+                self._hot = ray.get(self._hot_ref)
         return self._hot
 
     @property
@@ -180,6 +194,17 @@ class _PayloadEmitter:
         cfg = self.config
         idx, kh = _flat_hashes(batch)
         row_ids = batch["row_id"].to_pylist()
+        try:
+            rids = np.frombuffer(
+                bytes.fromhex("".join(row_ids)), dtype=">u8"
+            ).astype(np.uint64)
+        except ValueError as exc:
+            raise ValueError(
+                "blocking requires 16-hex-char row_ids (the normalize stage "
+                "emits sha256[:16]); got a non-hex id"
+            ) from exc
+        if len(rids) != len(row_ids):
+            raise ValueError("blocking requires exactly-16-hex-char row_ids")
         sig8 = batch["sig8"].to_pylist()
         if sig8:
             sp16 = np.frombuffer(
@@ -199,41 +224,38 @@ class _PayloadEmitter:
                 keep = np.zeros(len(kh), dtype=bool)
             idx, kh = idx[keep], kh[keep]
 
-        out_key: list[int] = []
-        out_i: list[int] = []
-        if self.hot:
-            hot = self.hot
-            for i, k in zip(idx, kh):
-                ki = int(k)
-                size = hot.get(ki)
-                if size is None:
-                    out_key.append(ki); out_i.append(i)
-                    continue
-                rid = row_ids[i]
-                # sub-block count scales with the key's size so sub-blocks
-                # stay ~max_block_rows/2 even for pathologically hot keys
-                n_sub = max(cfg.salt_buckets, -(-size // (cfg.max_block_rows // 2)))
-                b = _stable_bucket(rid, n_sub)
-                out_key.append(_salted(ki, b))
-                out_i.append(i)
-                # ring overlap: also join the next sub-block (bridge)
-                out_key.append(_salted(ki, (b + 1) % n_sub))
-                out_i.append(i)
+        hot_keys, hot_sizes = self.hot
+        if len(hot_keys) and len(kh):
+            pos = np.minimum(np.searchsorted(hot_keys, kh), len(hot_keys) - 1)
+            is_hot = hot_keys[pos] == kh
+            cold_i, cold_k = idx[~is_hot], kh[~is_hot]
+            hi, hk = idx[is_hot], kh[is_hot]
+            # sub-block count scales with the key's size so sub-blocks stay
+            # ~max_block_rows/2 even for pathologically hot keys
+            sizes = hot_sizes[pos[is_hot]]
+            n_sub = np.maximum(
+                cfg.salt_buckets, -(-sizes // (cfg.max_block_rows // 2))
+            ).astype(np.uint64)
+            h = rids[hi] * _MIX
+            h ^= h >> np.uint64(33)
+            b = h % n_sub
+            k1 = _salted_arr(hk, b)
+            # ring overlap: every hot row also joins the next sub-block
+            k2 = _salted_arr(hk, (b + np.uint64(1)) % n_sub)
+            key_arr = np.concatenate((cold_k, k1, k2))
+            i_arr = np.concatenate((cold_i, hi, hi))
         else:
-            out_key = kh.tolist()
-            out_i = idx.tolist()
+            key_arr = kh
+            i_arr = idx
 
-        key_arr = np.array(out_key, dtype=np.uint64)
-        i_arr = np.asarray(out_i, dtype=np.int64)
         return pa.table({
             "block_key": pa.array(key_arr, pa.uint64()),
             "bucket": pa.array(
                 (key_arr % np.uint64(cfg.census_buckets)).astype(np.int32), pa.int32()
             ),
-            "row_id": pa.array([row_ids[i] for i in out_i], pa.string()),
             # i_arr may be empty (all emissions suppressed as singletons);
-            # indexing with an empty int64 array yields the correct 0-row
-            # column, matching block_key/row_id lengths.
+            # indexing with an empty array yields correct 0-row columns.
+            "rid": pa.array(rids[i_arr], pa.uint64()),
             "sigp": pa.array(sigp[i_arr], pa.uint64()),
             "sigp2": pa.array(sigp2[i_arr], pa.uint64()),
         })
@@ -250,7 +272,9 @@ def emit_block_rows(
     dropped BEFORE the shuffle; without it, they are dropped vectorized
     inside the pair stage's bucket groups — either way they never cost
     per-group Python calls."""
-    hot_ref = ray.put(hot_keys or {})
+    hk = np.array(sorted((hot_keys or {}).keys()), dtype=np.uint64)
+    hs = np.array([(hot_keys or {})[int(k)] for k in hk], dtype=np.int64)
+    hot_ref = ray.put((hk, hs))
     multi_ref = ray.put(multi_keys) if multi_keys is not None else None
     return features.select_columns(
         ["row_id", "sig8", "block_hashes"]

@@ -538,12 +538,21 @@ def near_dedup_keep(
 
 
 def keep_representatives(
-    items: ray.data.Dataset, pairs: ray.data.Dataset, id_col: str
+    items: ray.data.Dataset, pairs: ray.data.Dataset, id_col: str,
+    components_collect_max: int = 5_000_000,
 ) -> ray.data.Dataset:
     """Shared keep-side of near-dedup: duplicate pairs ``(u, v)`` (int64 ids)
     → connected components → one ``(id_col, cluster_size)`` row per kept
     representative (min id per cluster; size 1 for untouched items).
-    Scale shape documented on :func:`near_dedup_keep`."""
+    Scale shape documented on :func:`near_dedup_keep`.
+
+    The component map is O(duplicate nodes). At or below
+    ``components_collect_max`` it is collected once and broadcast (drop-set
+    + rep→size arrays via ``ray.put``, one streaming filter pass); above
+    the ceiling the same semantics run as partitioned joins
+    (:func:`_keep_representatives_join`) — the stated-cap-plus-distributed-
+    fallback pattern every other driver collect in the codebase follows
+    (``cluster.py assign_clusters``)."""
     from localhost_address_matching_ray.stages.cluster import (
         _collect,
         connected_components,
@@ -557,7 +566,16 @@ def keep_representatives(
             "v": pa.array([format(x, "016x") for x in batch["v"].to_pylist()], pa.string()),
         })
 
-    comps = connected_components(pairs.map_batches(to_hex, batch_format="pyarrow"))
+    comps = connected_components(
+        pairs.map_batches(to_hex, batch_format="pyarrow")
+    ).materialize()
+    n_comp = comps.count()
+    if n_comp > components_collect_max:
+        logger.info(
+            "keep_representatives: %d component rows > collect ceiling %d — "
+            "join fallback", n_comp, components_collect_max,
+        )
+        return _keep_representatives_join(items, comps, id_col)
     comp_tbl = _collect(
         comps, pa.schema([("row_id", pa.string()), ("cluster_label", pa.string())])
     )
@@ -593,8 +611,155 @@ def keep_representatives(
     return items.select_columns([id_col]).map_batches(keep, batch_format="pyarrow")
 
 
+def _keep_representatives_join(
+    items: ray.data.Dataset, comps: ray.data.Dataset, id_col: str
+) -> ray.data.Dataset:
+    """Distributed fallback for :func:`keep_representatives` above the
+    collect ceiling: one partitioned left join attaches each item's
+    component label (absent → untouched singleton), non-representatives
+    (label ≠ id) are filtered, and a small per-label count join fills
+    ``cluster_size``. Same output as the broadcast path."""
+    from ray.data.aggregate import Count
+
+    from localhost_address_matching_ray.stages.cluster import (
+        _JOIN_ARGS,
+        _partitions_for,
+    )
+
+    def to_int(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.array(
+                [int(x, 16) for x in t["row_id"].to_pylist()], pa.int64()
+            ),
+            "label": pa.array(
+                [int(x, 16) for x in t["cluster_label"].to_pylist()], pa.int64()
+            ),
+        })
+
+    comp_int = comps.map_batches(to_int, batch_format="pyarrow").materialize()
+    sizes = comp_int.groupby("label").aggregate(Count(alias_name="sz")).map_batches(
+        lambda t: pa.table({"szkey": t["label"], "sz": t["sz"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    parts = _partitions_for(max(items.count(), 1))
+    joined = items.select_columns([id_col]).join(
+        comp_int, join_type="left_outer", num_partitions=parts,
+        on=(id_col,), right_on=("node",), **_JOIN_ARGS,
+    )
+
+    def keep_only(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        # null label → untouched item; label == id → representative
+        mask = pa.compute.is_null(t["label"]).to_numpy(zero_copy_only=False) | (
+            lab == ids
+        )
+        return pa.table({
+            id_col: pa.array(ids[mask], pa.int64()),
+            "label": t["label"].filter(pa.array(mask)),
+        })
+
+    kept = joined.map_batches(keep_only, batch_format="pyarrow")
+    out = kept.join(
+        sizes, join_type="left_outer", num_partitions=_partitions_for(
+            max(kept.count(), 1)
+        ),
+        on=("label",), right_on=("szkey",), **_JOIN_ARGS,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sz = pa.compute.coalesce(
+            t["sz"].cast(pa.int64()), pa.scalar(1, pa.int64())
+        )
+        return pa.table({
+            id_col: t[id_col],
+            "cluster_size": sz,
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 _SH_MIX1 = np.uint64(0x9E3779B97F4A7C15)
 _SH_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _simhash_run_pairs(
+    ids: np.ndarray, hs: np.ndarray, avail: np.ndarray,
+    max_hamming: int, max_block_rows: int, depth: int, rec: list,
+) -> None:
+    """Pairs at Hamming ≤ ``max_hamming`` within one agreement run,
+    recursively pigeonholed: rows here agree on every bit NOT in ``avail``,
+    so a qualifying pair's ≤ d differing bits all lie in ``avail`` and the
+    pair must agree exactly on one of d+1 disjoint groups of those bits —
+    re-splitting on each group preserves recall while bounding the k² work
+    to runs ≤ ``max_block_rows``. Duplicate emissions across groups are
+    collapsed by the callers' dedup passes.
+
+    Work bound: each level branches into ≤ d+1 groups (a pair is re-found
+    via every group it agrees on — redundancy, not incorrectness), so the
+    depth cap (4) bounds the blowup at (d+1)⁴ cheap numpy calls per
+    oversized run. Runs still oversized at the cap — rows agreeing on
+    ~4·|avail|/(d+1) constrained bits — are near-identical fingerprints
+    (exact-dedup territory) and are truncated with a warning, as is a run
+    no group manages to split."""
+    k = len(ids)
+    if k < 2:
+        return
+    if k <= max_block_rows:
+        iu, jv = np.triu_indices(k, 1)
+        d = hamming64_arrays(hs[iu], hs[jv])
+        hit = (d <= max_hamming) & (ids[iu] != ids[jv])
+        if hit.any():
+            a, b = ids[iu][hit], ids[jv][hit]
+            rec.append(np.stack([
+                np.minimum(a, b), np.maximum(a, b), d[hit].astype(np.int64)
+            ], axis=1))
+        return
+    if len(avail) <= max_hamming or depth >= 4:
+        # fewer free bits than the pigeonhole needs ⇒ the run is
+        # near-identical fingerprints (exact-dedup territory): cap it
+        logger.warning(
+            "simhash run overflow: %d rows with %d free bits at depth %d — "
+            "truncated to %d", k, len(avail), depth, max_block_rows,
+        )
+        _simhash_run_pairs(
+            ids[:max_block_rows], hs[:max_block_rows], avail,
+            max_hamming, max_block_rows, depth, rec,
+        )
+        return
+    progressed = False
+    for g in np.array_split(avail, max_hamming + 1):
+        if len(g) == 0:
+            continue
+        key = np.zeros(k, np.uint64)
+        for j, bit in enumerate(g):
+            key |= ((hs >> np.uint64(bit)) & np.uint64(1)) << np.uint64(j)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        bounds = np.flatnonzero(np.diff(ks)) + 1
+        if len(bounds):
+            progressed = True
+        sts = np.concatenate(([0], bounds))
+        ens = np.concatenate((bounds, [k]))
+        rest = np.setdiff1d(avail, g, assume_unique=True)
+        for s0, e0 in zip(sts, ens):
+            if e0 - s0 >= 2:
+                sel = order[s0:e0]
+                _simhash_run_pairs(
+                    ids[sel], hs[sel], rest, max_hamming, max_block_rows,
+                    depth + 1, rec,
+                )
+    if not progressed:
+        # identical on every free bit: all pairs are distance-0 dups; cap
+        logger.warning(
+            "simhash run of %d identical-fingerprint rows — truncated to %d",
+            k, max_block_rows,
+        )
+        _simhash_run_pairs(
+            ids[:max_block_rows], hs[:max_block_rows],
+            np.empty(0, dtype=avail.dtype), max_hamming, max_block_rows,
+            depth, rec,
+        )
 
 
 def simhash_pairs(
@@ -611,10 +776,13 @@ def simhash_pairs(
     whole-language O(k²) scan. Runs over ``max_block_rows`` are truncated
     with a warning (a run that large means near-constant fingerprints).
 
-    PARTITIONING ASSUMPTION: with ~9-bit blocks a random-fingerprint corpus
-    yields runs of ~n_lang/512 per block index; for corpora where that
-    exceeds ``max_block_rows`` the next refinement is recursive pigeonhole
-    (re-split runs on the remaining bits), which preserves exactness.
+    Runs over ``max_block_rows`` are RECURSIVELY re-split by pigeonhole on
+    the remaining (unconstrained) bits: rows in a run agree on the bits
+    constrained so far, so a pair at Hamming ≤ d among the remaining bits
+    must agree exactly on one of d+1 disjoint groups of those bits —
+    exactness is preserved at every depth. Truncation (logged) now happens
+    only when fewer than d+1 unconstrained bits remain (near-identical
+    fingerprints — exact-dedup territory) or at the depth cap.
     """
 
     def hasher(batch: pa.Table) -> pa.Table:
@@ -643,7 +811,7 @@ def simhash_pairs(
             n_blocks = max_hamming + 1
             # block b covers bits [b*64//n_blocks, (b+1)*64//n_blocks)
             edges = [(b * 64) // n_blocks for b in range(n_blocks + 1)]
-            out_id, out_key, out_sh = [], [], []
+            out_id, out_key, out_sh, out_blk = [], [], [], []
             for b in range(n_blocks):
                 lo, hi = edges[b], edges[b + 1]
                 bits = (hs >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1)
@@ -654,12 +822,14 @@ def simhash_pairs(
                 out_id.append(ids)
                 out_key.append(key)
                 out_sh.append(hs)
+                out_blk.append(np.full(len(ids), b, dtype=np.int32))
             kh = np.concatenate(out_key)
             return pa.table({
                 "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
                 "key": pa.array(kh, pa.uint64()),
                 "bucket": pa.array((kh % np.uint64(64)).astype(np.int32), pa.int32()),
                 "simhash": pa.array(np.concatenate(out_sh), pa.uint64()),
+                "blk": pa.array(np.concatenate(out_blk), pa.int32()),
             })
 
     keyed = docs.select_columns(["doc_id", "lang", "text"]).map_batches(
@@ -677,29 +847,29 @@ def simhash_pairs(
         kh = group["key"].to_numpy(zero_copy_only=False)
         ids_all = group["doc_id"].to_numpy(zero_copy_only=False)
         hs_all = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        blk_all = group["blk"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids_all, kh))
-        kh = kh[order]; ids_all = ids_all[order]; hs_all = hs_all[order]
+        kh = kh[order]; ids_all = ids_all[order]
+        hs_all = hs_all[order]; blk_all = blk_all[order]
         bounds = np.flatnonzero(np.diff(kh)) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [n]))
-        rec = []
+        n_blocks = max_hamming + 1
+        edges = [(b * 64) // n_blocks for b in range(n_blocks + 1)]
+        all_bits = np.arange(64, dtype=np.int64)
+        rec: list = []
         for s0, e0 in zip(starts, ends):
             k = e0 - s0
             if k < 2:
                 continue
-            if k > max_block_rows:
-                logger.warning(
-                    "simhash block overflow: %d rows > %d — truncated", k, max_block_rows
-                )
-                e0 = s0 + max_block_rows
-                k = max_block_rows
-            ids = ids_all[s0:e0]; hs = hs_all[s0:e0]
-            iu, jv = np.triu_indices(k, 1)
-            d = hamming64_arrays(hs[iu], hs[jv])
-            hit = (d <= max_hamming) & (ids[iu] != ids[jv])
-            a, b = ids[iu][hit], ids[jv][hit]
-            lo, hi = np.minimum(a, b), np.maximum(a, b)
-            rec.append(np.stack([lo, hi, d[hit].astype(np.int64)], axis=1))
+            # rows in this run agree on block b's bits; the remaining
+            # (unconstrained) bits drive the recursive pigeonhole re-split
+            b = int(blk_all[s0])
+            avail = np.concatenate((all_bits[: edges[b]], all_bits[edges[b + 1]:]))
+            _simhash_run_pairs(
+                ids_all[s0:e0], hs_all[s0:e0], avail,
+                max_hamming, max_block_rows, 0, rec,
+            )
         if not rec:
             return empty
         arr = np.concatenate(rec)

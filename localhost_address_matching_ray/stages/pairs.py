@@ -9,7 +9,7 @@ block. This is the engine's ONE large-large "join", expressed as a bucketed
 Round-1 measured the 17-key-emission × ~160 B/row payload shuffle dominating
 the 1M-row soak, so round 2 splits the stage:
 
-1. **candidates** — the blocking shuffle carries only (block_key, row_id,
+1. **candidates** — the blocking shuffle carries only (block_key, rid u64,
    sigp); inside each 64-way bucket, runs of equal key are found by numpy
    sort/diff (singletons vanish in one mask — no per-group Python). Small
    blocks emit all pairs; large blocks sort by ``sigp`` (8-byte signature
@@ -142,7 +142,9 @@ def _candidate_pairs_factory(config: PipelineConfig):
         kh = group["block_key"].to_numpy(zero_copy_only=False)
         sigp = group["sigp"].to_numpy(zero_copy_only=False)
         sigp2 = group["sigp2"].to_numpy(zero_copy_only=False)
-        ids = _hex16_to_u64(group["row_id"].to_pylist())
+        # rid is the uint64 view of the 16-hex row_id (blocking emits it
+        # pre-converted so the string never rides the blocking shuffle)
+        ids = group["rid"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, sigp, kh))
         kh = kh[order]; ids = ids[order]; sigp = sigp[order]; sigp2 = sigp2[order]
         chunks: list[np.ndarray] = []

@@ -110,7 +110,8 @@ def test_blocking_census_and_salting():
     # 60 rows sharing one block hash + unique hashes
     hashes = [[7777, 1000 + i] for i in range(n)]
     feats = ray.data.from_arrow(pa.table({
-        "row_id": pa.array([f"r{i:03d}" for i in range(n)], pa.string()),
+        # blocking requires 16-hex row_ids (sha256[:16] pipeline contract)
+        "row_id": pa.array([format(i + 1, "016x") for i in range(n)], pa.string()),
         "sig8": pa.array([bytes([i % 256]) * 128 for i in range(n)], pa.binary()),
         "block_hashes": pa.array(hashes, pa.list_(pa.uint64())),
     }))

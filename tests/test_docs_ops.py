@@ -227,3 +227,72 @@ def test_centroid_sample_spread_and_deterministic():
     assert 0.3 * n < np.mean(ids1) < 0.7 * n  # spread, not a prefix
     # small inputs pass through whole
     assert _centroid_sample(ray.data.from_arrow(t.slice(0, 100)), 2048).num_rows == 100
+
+
+def test_simhash_recursive_pigeonhole_exact():
+    """Skewed-fingerprint corpus: runs far above max_block_rows must be
+    recursively re-split (pigeonhole on the unconstrained bits) with NO
+    recall loss — output equals brute-force Hamming pairs."""
+    import numpy as np
+
+    from localhost_address_matching_ray.functions.hashing import (
+        SimHasher,
+        hamming64_arrays,
+    )
+    from localhost_address_matching_ray.stages.docs_ops import simhash_pairs
+
+    # 6 families × 10 docs: 40 shared family tokens + 3 per-doc tokens →
+    # within-family Hamming ≤ 6 (84 true pairs), family runs of 10 > the
+    # max_block_rows=8 cap, so every family run must recurse
+    texts = []
+    for f in range(6):
+        fam = [f"fam{f}_tok{i}" for i in range(40)]
+        for j in range(10):
+            texts.append(" ".join(
+                fam + [f"doc{f}_{j}_a", f"doc{f}_{j}_b", f"doc{f}_{j}_c"]
+            ))
+    n = len(texts)
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    # brute-force reference over the same simhash values
+    sh = SimHasher()
+    hs = np.array(
+        [sh.simhash(t.split(" ")) for t in texts], dtype=np.uint64
+    )
+    iu, jv = np.triu_indices(n, 1)
+    d = hamming64_arrays(hs[iu], hs[jv])
+    want = {
+        (int(min(a, b)), int(max(a, b)), int(dd))
+        for a, b, dd in zip(iu[d <= 6], jv[d <= 6], d[d <= 6])
+    }
+    got = {
+        (r["u"], r["v"], r["hamming"])
+        for r in simhash_pairs(docs, max_hamming=6, max_block_rows=8).take_all()
+    }
+    assert len(want) > 50, "fixture should produce close fingerprints"
+    assert got == want
+
+
+def test_keep_representatives_join_fallback(docs):
+    """components_collect_max=0 forces the partitioned-join fallback; output
+    must equal the broadcast path exactly."""
+    from localhost_address_matching_ray.stages.docs_ops import (
+        keep_representatives,
+        ngram_dup_pairs,
+    )
+
+    pairs = ngram_dup_pairs(docs, k=3, threshold=0.5).materialize()
+    broad = {
+        r["doc_id"]: r["cluster_size"]
+        for r in keep_representatives(docs, pairs, "doc_id").take_all()
+    }
+    joined = {
+        r["doc_id"]: r["cluster_size"]
+        for r in keep_representatives(
+            docs, pairs, "doc_id", components_collect_max=0
+        ).take_all()
+    }
+    assert joined == broad

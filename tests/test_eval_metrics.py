@@ -69,3 +69,44 @@ def test_stage_metrics_write(tmp_path):
     data = json.loads(open(path).read())
     assert any(r["metric"] == "rows" and r["value"] == 100 for r in data)
     assert any(r["metric"] == "score_hist" for r in data)
+
+
+def test_tagger_report_per_label():
+    """Strict span-level P/R/F1 per entity type + micro/macro (the seqeval
+    harness analog)."""
+    from localhost_address_matching_ray.pipelines.eval import tagger_report
+
+    gold = [
+        ["B-NUM", "O", "B-URL", "I-URL", "O"],
+        ["B-NUM", "I-NUM", "O"],
+    ]
+    pred = [
+        ["B-NUM", "O", "B-URL", "O", "O"],      # URL boundary wrong
+        ["B-NUM", "I-NUM", "O"],                 # exact
+    ]
+    rep = tagger_report(pred, gold)
+    assert rep["per_label"]["NUM"] == {
+        "precision": 1.0, "recall": 1.0, "f1": 1.0, "support": 2,
+    }
+    url = rep["per_label"]["URL"]
+    assert url["precision"] == 0.0 and url["recall"] == 0.0 and url["support"] == 1
+    micro = rep["micro"]
+    assert micro["precision"] == 2 / 3 and micro["recall"] == 2 / 3
+    assert abs(rep["macro"]["f1"] - 0.5) < 1e-12
+
+    # perfect agreement on the tagger's own output
+    from localhost_address_matching_ray.stages.tagger import EntityTagger
+
+    t = EntityTagger()
+    tags = [t.tag_one("visit https://x.io NOW 42 fooBar")[0]]
+    rep2 = tagger_report(tags, tags)
+    assert rep2["micro"]["f1"] == 1.0 and set(rep2["per_label"]) >= {"URL", "NUM"}
+
+
+def test_tagger_report_length_mismatch():
+    import pytest
+
+    from localhost_address_matching_ray.pipelines.eval import tagger_report
+
+    with pytest.raises(ValueError):
+        tagger_report([["O"]], [])

@@ -52,7 +52,7 @@ def _blocks(pairs_of_ids, equal_sigp: bool = False):
     return ray.data.from_arrow(pa.table({
         "block_key": pa.array(kh, pa.uint64()),
         "bucket": pa.array((kh % np.uint64(64)).astype(np.int32), pa.int32()),
-        "row_id": pa.array(ids, pa.string()),
+        "rid": pa.array([int(m, 16) for m in ids], pa.uint64()),
         "sigp": pa.array(sp, pa.uint64()),
         "sigp2": pa.array(sp2, pa.uint64()),
     }))
@@ -155,7 +155,7 @@ def test_screen_recovers_far_similar_pair():
     blocks = ray.data.from_arrow(pa.table({
         "block_key": pa.array(kh, pa.uint64()),
         "bucket": pa.array((kh % np.uint64(64)).astype(np.int32), pa.int32()),
-        "row_id": pa.array(ids, pa.string()),
+        "rid": pa.array([int(m, 16) for m in ids], pa.uint64()),
         "sigp": pa.array(sp, pa.uint64()),
         "sigp2": pa.array(sp2, pa.uint64()),
     }))
