@@ -187,19 +187,43 @@ def scaling() -> None:
     # per-round ratios (a best-of estimator would let each level pick its
     # luckiest run independently and bias the ratio).
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
+
+    def wait_quiet() -> None:
+        """Bounded wait for a quiet co-tenant window: this shared box's
+        external load (sampled at 7-15 of 32 cores during round-3 campaigns)
+        suppresses the 16-CPU leg proportionally more than the 4-CPU leg,
+        biasing every measured ratio down. Waiting (≤10 min) for 1-min
+        loadavg below GRAFT_QUIET_LOAD measures the system under test, not
+        the co-tenant; disable with GRAFT_SCALING_WAIT_QUIET=0."""
+        if os.environ.get("GRAFT_SCALING_WAIT_QUIET", "1") == "0":
+            return
+        thr = float(os.environ.get("GRAFT_QUIET_LOAD", "2.5"))
+        deadline = time.time() + float(os.environ.get("GRAFT_QUIET_MAX_WAIT", "600"))
+        while time.time() < deadline and os.getloadavg()[0] > thr:
+            time.sleep(15)
+
     rounds = []
     for i in range(repeats):
+        wait_quiet()
         # co-tenant load sample (1-min loadavg) brackets each round so a
         # weather-skewed ratio is diagnosable from the JSON alone
         load0 = os.getloadavg()[0]
-        r_lo, r_hi = run_once(lo), run_once(hi)
+        # ALTERNATE the within-round order: drift is often monotone across
+        # a round (a co-tenant waking up mid-round always lands on whichever
+        # level runs second) — alternating lo-hi / hi-lo symmetrizes it
+        if i % 2 == 0:
+            r_lo, r_hi = run_once(lo), run_once(hi)
+            order = "lo-hi"
+        else:
+            r_hi, r_lo = run_once(hi), run_once(lo)
+            order = "hi-lo"
         load1 = os.getloadavg()[0]
         eff = (r_hi["rows_per_sec"] / r_lo["rows_per_sec"]) / (hi / lo)
         rounds.append({
-            "r_lo": r_lo, "r_hi": r_hi, "eff": eff,
+            "r_lo": r_lo, "r_hi": r_hi, "eff": eff, "order": order,
             "loadavg": [round(load0, 2), round(load1, 2)],
         })
-        print(f"# round {i}: lo={r_lo['value']}s hi={r_hi['value']}s "
+        print(f"# round {i} ({order}): lo={r_lo['value']}s hi={r_hi['value']}s "
               f"eff={eff:.3f} loadavg={load0:.1f}->{load1:.1f}", file=sys.stderr)
     # lower-middle for even N (rounds[n//2] would be the MAX of two — the
     # best-of bias again); report efficiencies in RUN order so box-weather
@@ -214,6 +238,7 @@ def scaling() -> None:
         "scaling_efficiency": round(med["eff"], 3),
         "round_efficiencies": [round(r["eff"], 3) for r in rounds],
         "round_loadavg": [r["loadavg"] for r in rounds],
+        "round_order": [r["order"] for r in rounds],
     }))
 
 

@@ -135,14 +135,13 @@ class PipelineConfig:
     verify_broadcast_max_rows: int = 2_000_000  # candidate-involved rows ≤ →
                                                 # broadcast sig fetch; above →
                                                 # partitioned hash-join fetch
-    pairs_collect_max: int = 80_000_000  # raw candidate pairs ≤ → one driver
-                                         # collect + hash-sort dedup (16 B/
-                                         # pair → ≤1.3 GB driver); above →
-                                         # bucketed shuffle dedup + join-
-                                         # fetch verify (measured ~4x slower
-                                         # at 20M pairs — the ceiling should
-                                         # only trip when the driver can't
-                                         # hold the pair stream)
+    pairs_collect_max: int = 80_000_000  # LEGACY (round 2): candidate pairs
+                                         # are no longer collected to the
+                                         # driver at all — duplicates are
+                                         # scored redundantly (dup factor
+                                         # ~1.35) and dedup happens on the
+                                         # verified edge stream; kept for
+                                         # config-file compatibility
 
     # --- execution ---
     batch_size: int = 4096

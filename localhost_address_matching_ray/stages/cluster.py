@@ -300,6 +300,91 @@ def connected_components(
     return _distributed_label_prop(edges, max_iters, num_partitions)
 
 
+def _fixed_width_bytes(col: pa.ChunkedArray | pa.Array, width: int) -> "np.ndarray | None":
+    """Arrow string column whose values are ALL exactly ``width`` chars →
+    numpy ``S{width}`` array, zero-copy from the value buffer. None when any
+    value has a different length (falls back to the scalar path)."""
+    import numpy as np
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=f"S{width}")
+    if arr.null_count:
+        return None
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    start = int(offs[arr.offset])
+    if int(offs[arr.offset + n]) - start != width * n:
+        return None
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[start : start + width * n]
+    return data.view(f"S{width}")
+
+
+def _assign_broadcast_u64(
+    slim: ray.data.Dataset, comp_tbl: pa.Table
+) -> "ray.data.Dataset | None":
+    """Fully-vectorized broadcast cluster assignment for the 16-hex-row_id /
+    64-hex-sha contract (the pipeline's own output shape): every map is a
+    sorted-u64 + fixed-width-S64 numpy pair — zero Python dict loops on the
+    driver (profiling measured the dict builds + canon loop at several
+    seconds of serial wall at 1.5M component rows) and zero-copy plasma
+    broadcast (object-dtype value arrays pickled per worker). Returns None
+    when ids aren't 16-hex / shas aren't width-64 (dict fallback)."""
+    import numpy as np
+
+    mku = _hex16_col_to_u64(comp_tbl["row_id"])
+    labu = _hex16_col_to_u64(comp_tbl["cluster_label"])
+    if mku is None or labu is None:
+        return None
+    order = np.argsort(mku)
+    mk_s, lab_s = mku[order], labu[order]
+    member_ref = ray.put(mk_s)
+
+    def pick_members(t: pa.Table) -> pa.Table:
+        keys = _cached_broadcast(member_ref)
+        qk = _hex16_col_to_u64(t["row_id"])
+        if qk is None:
+            raise ValueError("mixed non-hex row_ids in a hex-id pipeline")
+        pos = np.minimum(np.searchsorted(keys, qk), len(keys) - 1)
+        return t.filter(pa.array(keys[pos] == qk))
+
+    members = _collect(
+        slim.map_batches(pick_members, batch_format="pyarrow"),
+        pa.schema([("row_id", pa.string()), ("content_sha256", pa.string())]),
+    ).combine_chunks()
+    mids = _hex16_col_to_u64(members["row_id"])
+    shas = _fixed_width_bytes(members["content_sha256"], 64)
+    if mids is None or shas is None or len(mids) == 0:
+        return None
+    # canonical sha per label = min member sha: one lexsort, first per run
+    mlab = lab_s[np.minimum(np.searchsorted(mk_s, mids), len(mk_s) - 1)]
+    o = np.lexsort((shas, mlab))
+    mlab_s, shas_s = mlab[o], shas[o]
+    first = np.concatenate(([True], mlab_s[1:] != mlab_s[:-1]))
+    canon_lab, canon_sha = mlab_s[first], shas_s[first]
+    # per-component-row canonical sha, aligned with mk_s
+    row_canon = canon_sha[
+        np.minimum(np.searchsorted(canon_lab, lab_s), len(canon_lab) - 1)
+    ]
+    maps_ref = ray.put((mk_s, row_canon))  # u64 + S64: zero-copy from plasma
+
+    def resolve(t: pa.Table) -> pa.Table:
+        keys, vals = _cached_broadcast(maps_ref)
+        qk = _hex16_col_to_u64(t["row_id"])
+        if qk is None:
+            raise ValueError("mixed non-hex row_ids in a hex-id pipeline")
+        pos = np.minimum(np.searchsorted(keys, qk), len(keys) - 1)
+        hit = keys[pos] == qk
+        out = np.asarray(t["content_sha256"].to_numpy(zero_copy_only=False), dtype="S64")
+        out[hit] = vals[pos[hit]]
+        return pa.table({
+            "row_id": t["row_id"],
+            "cluster_id": pa.array(np.char.decode(out, "ascii"), pa.string()),
+        })
+
+    return slim.map_batches(resolve, batch_format="pyarrow")
+
+
 def assign_clusters(
     all_rows: ray.data.Dataset,
     components: ray.data.Dataset,
@@ -329,7 +414,10 @@ def assign_clusters(
         comp_tbl = _collect(
             components,
             pa.schema([("row_id", pa.string()), ("cluster_label", pa.string())]),
-        )
+        ).combine_chunks()
+        fast = _assign_broadcast_u64(slim, comp_tbl)
+        if fast is not None:
+            return fast
         label_of = dict(zip(
             comp_tbl["row_id"].to_pylist(), comp_tbl["cluster_label"].to_pylist()
         ))

@@ -85,20 +85,6 @@ def _unique_pairs(arr: np.ndarray) -> np.ndarray:
     return a[keep]
 
 
-def _unique_pairs_flat(pu: np.ndarray, pv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """:func:`_unique_pairs` over two FLAT uint64 columns, returning flat
-    columns — skips the interleaved (n, 2) stack/gather copies (measured
-    ~40% of the driver dedup at 21M pairs on the 1M soak)."""
-    n = len(pu)
-    if n <= 1:
-        return pu, pv
-    key = pu * np.uint64(0x9E3779B97F4A7C15) ^ pv * np.uint64(0xC2B2AE3D27D4EB4F)
-    order = np.argsort(key)
-    pu, pv = pu[order], pv[order]
-    keep = np.concatenate(([True], (pu[1:] != pu[:-1]) | (pv[1:] != pv[:-1])))
-    return pu[keep], pv[keep]
-
-
 def _hex16_to_u64(ids: list[str]) -> np.ndarray:
     """row_id (16 hex chars, sha256 prefix) → uint64; big-endian view keeps
     lexicographic order, so u64 compares == string compares."""
@@ -249,7 +235,7 @@ def _scorer_factory(bundle_ref, config: PipelineConfig):
 
     def score(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table(_EMPTY_EDGES)
+            return pa.table(_EMPTY_SCORED)
         key = bundle_ref.hex()
         bundle = _PROCESS_BUNDLES.get(key)
         if bundle is None:
@@ -267,7 +253,7 @@ def _scorer_factory(bundle_ref, config: PipelineConfig):
         if not hit.all():
             pu, pv, iu, iv = pu[hit], pv[hit], iu[hit], iv[hit]
             if len(pu) == 0:
-                return pa.table(_EMPTY_EDGES)
+                return pa.table(_EMPTY_SCORED)
         est = (sigs[iu] == sigs[iv]).mean(axis=1)
         accept = est >= threshold
         # Jaro-Winkler stem assist on the borderline band only (few pairs);
@@ -278,8 +264,8 @@ def _scorer_factory(bundle_ref, config: PipelineConfig):
                 accept[i] = True
         keep = np.flatnonzero(accept)
         return pa.table({
-            "u": pa.array(_u64_to_hex(pu[keep]), pa.string()),
-            "v": pa.array(_u64_to_hex(pv[keep]), pa.string()),
+            "pu": pa.array(pu[keep], pa.uint64()),
+            "pv": pa.array(pv[keep], pa.uint64()),
             "score": pa.array(est[keep], pa.float64()),
         })
 
@@ -291,7 +277,10 @@ def _verify_broadcast(
     involved: np.ndarray, config: PipelineConfig,
 ) -> ray.data.Dataset:
     """Fetch sig8/stem for involved rows via a filtered pass over features,
-    broadcast the bundle, score pairs in stateless map_batches."""
+    broadcast the bundle, score pairs in stateless map_batches. Emits the
+    SCORED uint64 stream (pu, pv, score) — thresholded but possibly still
+    carrying cross-bucket duplicate pairs; callers dedup the (small) edge
+    stream."""
     inv_ref = ray.put(involved)  # sorted uint64
 
     def fetch(batch: pa.Table) -> pa.Table:
@@ -309,7 +298,7 @@ def _verify_broadcast(
         if t.num_rows > 0
     ]
     if not tbls:
-        return ray.data.from_arrow(pa.table(_EMPTY_EDGES))
+        return ray.data.from_arrow(pa.table(_EMPTY_SCORED))
     ft = pa.concat_tables(
         [t.select(["row_id", "sig8", "stem"]) for t in tbls]
     ).combine_chunks()
@@ -431,23 +420,65 @@ def _distinct_pairs_shuffle(
     )
 
 
-def _pairs_dataset(arr: np.ndarray) -> ray.data.Dataset:
-    """(n, 2) uint64 → a Dataset split into multiple blocks so scoring
-    parallelizes (a single from_arrow table would be one block = one task)."""
-    return _pairs_dataset_flat(arr[:, 0], arr[:, 1])
+def _edges_distinct_hex(scored: ray.data.Dataset, buckets: int) -> ray.data.Dataset:
+    """Thresholded scored stream (pu, pv, score; cross-bucket duplicate
+    pairs allowed — duplicates carry IDENTICAL scores, same signatures →
+    same kernel) → distinct hex edges (u, v, score), via the pair-hash
+    bucket idiom. The edge stream is orders of magnitude smaller than the
+    candidate stream, so this shuffle is cheap — and it replaces the former
+    DRIVER-side 21M-pair collect + single-threaded argsort dedup that
+    profiling measured at ~15 s of serial time at the 1M soak."""
 
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("pb", pa.array([], pa.int32()))
+        pu = t["pu"].to_numpy(zero_copy_only=False)
+        pv = t["pv"].to_numpy(zero_copy_only=False)
+        pb = ((pu * _PB_P1 ^ pv * _PB_P2) % np.uint64(buckets)).astype(np.int32)
+        return t.append_column("pb", pa.array(pb, pa.int32()))
 
-def _pairs_dataset_flat(pu: np.ndarray, pv: np.ndarray) -> ray.data.Dataset:
-    n = len(pu)
-    step = max(65536, -(-n // 64))
-    tables = [
-        pa.table({
-            "pu": pa.array(np.ascontiguousarray(pu[i : i + step]), pa.uint64()),
-            "pv": pa.array(np.ascontiguousarray(pv[i : i + step]), pa.uint64()),
+    def dedup(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(_EMPTY_EDGES)
+        pu = g["pu"].to_numpy(zero_copy_only=False)
+        pv = g["pv"].to_numpy(zero_copy_only=False)
+        sc = g["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pv, pu))
+        pu, pv, sc = pu[order], pv[order], sc[order]
+        keep = np.concatenate(([True], (pu[1:] != pu[:-1]) | (pv[1:] != pv[:-1])))
+        return pa.table({
+            "u": pa.array(_u64_to_hex(pu[keep]), pa.string()),
+            "v": pa.array(_u64_to_hex(pv[keep]), pa.string()),
+            "score": pa.array(sc[keep], pa.float64()),
         })
-        for i in range(0, n, step)
+
+    return scored.map_batches(tag, batch_format="pyarrow").groupby("pb").map_groups(
+        dedup, batch_format="pyarrow"
+    )
+
+
+def _involved_rows(pairs: ray.data.Dataset) -> np.ndarray:
+    """Sorted unique endpoint ids of the candidate stream, computed with a
+    distributed per-block unique first — the driver merges per-block unique
+    arrays (Σ block uniques) instead of sorting the raw 2×pairs stream."""
+
+    def uniq(t: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            t["pu"].to_numpy(zero_copy_only=False),
+            t["pv"].to_numpy(zero_copy_only=False),
+        ])) if t.num_rows else np.empty(0, np.uint64)
+        return pa.table({"rid": pa.array(ids, pa.uint64())})
+
+    parts = [
+        t["rid"].to_numpy(zero_copy_only=False)
+        for t in ray.get(
+            pairs.map_batches(uniq, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows > 0
     ]
-    return ray.data.from_arrow(tables)
+    if not parts:
+        return np.empty(0, np.uint64)
+    return np.unique(np.concatenate(parts))
 
 
 def verify_edges(
@@ -456,37 +487,29 @@ def verify_edges(
     """Candidate pairs (uint64, cross-bucket duplicates allowed) →
     thresholded DISTINCT edges (u, v, score).
 
-    A high-similarity pair collides in most LSH bands, so the raw candidate
-    stream carries ~#colliding-bands copies of it. Below
-    ``pairs_collect_max`` the stream is collected once (16 B/pair — the same
-    driver ceiling philosophy as ``driver_cc_max_edges``), deduped with one
-    np.unique, and re-sharded for scoring; that single collect replaces two
-    all-to-all dedup shuffles (pair-level and edge-level). Above the ceiling
-    the dedup runs as a bucketed shuffle and scoring fetches via joins."""
+    The candidate stream's cross-bucket duplicate factor is small (~1.35 at
+    the 1M soak: in-bucket dedup already collapsed the band-level copies),
+    so duplicates are scored REDUNDANTLY — the scoring kernel is a
+    vectorized byte compare and fully parallel — and dedup happens on the
+    verified EDGE stream, which is orders of magnitude smaller. The former
+    shape (driver collect + single-threaded np.argsort dedup of the raw
+    pair stream) measured ~15 s of serial wall at the 1M soak — the single
+    largest non-scaling term in the 4→16 CPU efficiency. Above the
+    broadcast ceiling, pairs ARE deduped first (a join fetch pays per
+    pair), then fetched via partitioned hash joins."""
     pairs = pairs.materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
         return ray.data.from_arrow(pa.table(_EMPTY_EDGES))
-    if n_pairs > config.pairs_collect_max:
-        logger.info(
-            "verify_edges: %d raw pairs > collect ceiling %d — shuffle dedup + join fetch",
-            n_pairs, config.pairs_collect_max,
-        )
-        distinct = _distinct_pairs_shuffle(pairs, config.census_buckets)
-        return _verify_join(distinct, features, config)
-    ptbls = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows > 0]
-    pu, pv = _unique_pairs_flat(
-        np.concatenate([t["pu"].to_numpy(zero_copy_only=False) for t in ptbls]),
-        np.concatenate([t["pv"].to_numpy(zero_copy_only=False) for t in ptbls]),
-    )
-    involved = np.unique(np.concatenate([pu, pv]))
-    distinct = _pairs_dataset_flat(pu, pv)
+    involved = _involved_rows(pairs)
     if len(involved) <= config.verify_broadcast_max_rows:
-        return _verify_broadcast(distinct, features, involved, config)
+        scored = _verify_broadcast(pairs, features, involved, config)
+        return _edges_distinct_hex(scored, config.census_buckets)
     logger.info(
         "verify_edges: %d involved rows > broadcast ceiling %d — join path",
         len(involved), config.verify_broadcast_max_rows,
     )
+    distinct = _distinct_pairs_shuffle(pairs, config.census_buckets)
     return _verify_join(distinct, features, config)
 
 
