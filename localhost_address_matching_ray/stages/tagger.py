@@ -170,15 +170,29 @@ class EntityTagger:
         )
 
 
+def with_input_order(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Enable order-preserving execution for this dataset: Ray's streaming
+    executor reorders block completion by default; with this flag the
+    output rows come back in input order — the reference CLI's contract
+    (``ner_address_parser.py:211-212`` writes predictions aligned to input
+    rows). Costs pipeline flexibility (a slow block stalls its successors),
+    so it is opt-in; map-only lineages keep intra-block order either way."""
+    ds.context.execution_options.preserve_order = True
+    return ds
+
+
 def tag_documents(
     docs: ray.data.Dataset,
     rules: list[tuple[str, str]] | None = None,
     concurrency: int | tuple[int, int] = (1, 8),
     batch_size: int = 1024,
+    preserve_order: bool = False,
 ) -> ray.data.Dataset:
     """Actor-pool tagging stage: ``docs`` needs (doc_id, text); appends
-    pred_tags / n_entities / entities_flat / entities."""
-    return docs.map_batches(
+    pred_tags / n_entities / entities_flat / entities. With
+    ``preserve_order`` the output row order equals the input row order
+    (see :func:`with_input_order`)."""
+    out = docs.map_batches(
         EntityTagger,
         fn_constructor_args=(rules,),
         batch_format="pyarrow",
@@ -186,3 +200,4 @@ def tag_documents(
         concurrency=concurrency,
         num_cpus=1,
     )
+    return with_input_order(out) if preserve_order else out

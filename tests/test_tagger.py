@@ -85,3 +85,27 @@ def test_custom_rules():
     tags, spans, _ = tagger.tag_one("addr 0xff end")
     assert " ".join(tags) == "O B-HEX O"
     assert spans[0].type == "HEX"
+
+
+def test_tag_documents_preserve_order():
+    """preserve_order=True: output row order == input row order across many
+    blocks (the reference CLI's aligned-predictions contract)."""
+    import pyarrow as pa
+    import ray.data
+
+    from localhost_address_matching_ray.stages.tagger import tag_documents
+
+    n = 2000
+    docs = ray.data.from_arrow([
+        pa.table({
+            "doc_id": pa.array(list(range(i, min(i + 100, n))), pa.int64()),
+            "text": pa.array(
+                [f"word{j} NUM{j} {j}" for j in range(i, min(i + 100, n))],
+                pa.string(),
+            ),
+        })
+        for i in range(0, n, 100)
+    ])
+    out = tag_documents(docs, batch_size=64, concurrency=(1, 4), preserve_order=True)
+    got = [r["doc_id"] for r in out.take_all()]
+    assert got == list(range(n))
