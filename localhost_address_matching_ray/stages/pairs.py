@@ -274,27 +274,27 @@ def _scorer_factory(bundle_ref, config: PipelineConfig):
 
 def _verify_broadcast(
     pairs: ray.data.Dataset, features: ray.data.Dataset,
-    involved: np.ndarray, config: PipelineConfig,
+    involved: "np.ndarray | None", config: PipelineConfig,
 ) -> ray.data.Dataset:
-    """Fetch sig8/stem for involved rows via a filtered pass over features,
+    """Fetch sig8/stem for involved rows via a filtered pass over features
+    (``involved=None`` skips the filter — the whole table fits the bundle),
     broadcast the bundle, score pairs in stateless map_batches. Emits the
     SCORED uint64 stream (pu, pv, score) — thresholded but possibly still
     carrying cross-bucket duplicate pairs; callers dedup the (small) edge
     stream."""
-    inv_ref = ray.put(involved)  # sorted uint64
+    slim = _slim_features(features)
+    if involved is not None:
+        inv_ref = ray.put(involved)  # sorted uint64
 
-    def fetch(batch: pa.Table) -> pa.Table:
-        keys = ray.get(inv_ref)
-        bids = _hex16_to_u64(batch["row_id"].to_pylist())
-        pos = np.minimum(np.searchsorted(keys, bids), len(keys) - 1)
-        return batch.filter(pa.array(keys[pos] == bids))
+        def fetch(batch: pa.Table) -> pa.Table:
+            keys = ray.get(inv_ref)
+            bids = _hex16_to_u64(batch["row_id"].to_pylist())
+            pos = np.minimum(np.searchsorted(keys, bids), len(keys) - 1)
+            return batch.filter(pa.array(keys[pos] == bids))
 
+        slim = slim.map_batches(fetch, batch_format="pyarrow", batch_size=8192)
     tbls = [
-        t for t in ray.get(
-            _slim_features(features).map_batches(
-                fetch, batch_format="pyarrow", batch_size=8192
-            ).to_arrow_refs()
-        )
+        t for t in ray.get(slim.to_arrow_refs())
         if t.num_rows > 0
     ]
     if not tbls:
@@ -501,6 +501,13 @@ def verify_edges(
     n_pairs = pairs.count()
     if n_pairs == 0:
         return ray.data.from_arrow(pa.table(_EMPTY_EDGES))
+    # when the WHOLE feature table fits the broadcast ceiling, the involved
+    # set can't not fit — skip computing it (at the 1M soak involved == all
+    # rows and the involved pass cost 3 s of driver wall for a no-op filter)
+    n_feat = features.count()
+    if n_feat <= config.verify_broadcast_max_rows:
+        scored = _verify_broadcast(pairs, features, None, config)
+        return _edges_distinct_hex(scored, config.census_buckets)
     involved = _involved_rows(pairs)
     if len(involved) <= config.verify_broadcast_max_rows:
         scored = _verify_broadcast(pairs, features, involved, config)
