@@ -192,13 +192,14 @@ def scaling() -> None:
         """Bounded wait for a quiet co-tenant window: this shared box's
         external load (sampled at 7-15 of 32 cores during round-3 campaigns)
         suppresses the 16-CPU leg proportionally more than the 4-CPU leg,
-        biasing every measured ratio down. Waiting (≤10 min) for 1-min
-        loadavg below GRAFT_QUIET_LOAD measures the system under test, not
-        the co-tenant; disable with GRAFT_SCALING_WAIT_QUIET=0."""
+        biasing every measured ratio down. Waiting (≤4 min by default,
+        bounded so an unattended run never stalls) for 1-min loadavg below
+        GRAFT_QUIET_LOAD measures the system under test, not the co-tenant;
+        disable with GRAFT_SCALING_WAIT_QUIET=0."""
         if os.environ.get("GRAFT_SCALING_WAIT_QUIET", "1") == "0":
             return
         thr = float(os.environ.get("GRAFT_QUIET_LOAD", "2.5"))
-        deadline = time.time() + float(os.environ.get("GRAFT_QUIET_MAX_WAIT", "600"))
+        deadline = time.time() + float(os.environ.get("GRAFT_QUIET_MAX_WAIT", "240"))
         while time.time() < deadline and os.getloadavg()[0] > thr:
             time.sleep(15)
 
