@@ -117,7 +117,11 @@ class PipelineConfig:
     #   pipeline's only all-to-all ops carry ids + 128-byte sigs.
 
     # --- scale-adaptive machinery ---
-    census_buckets: int = 64          # low-cardinality bucket groupby width
+    census_buckets: int = 0           # low-cardinality bucket groupby width;
+                                      # 0 (default) = cluster-relative
+                                      # bucket_width() resolved once at
+                                      # construction (driver), so every side
+                                      # of the bucket groupby agrees
     census_sample_div: int = 4        # census samples 1/div of rows when it
                                       # only feeds hot-key detection (a
                                       # >max_block key still shows up at
@@ -168,6 +172,11 @@ class PipelineConfig:
                 f"{self.minhash_mode!r} — a typo here would silently pick a "
                 f"signature family and fork the checkpoint namespace"
             )
+        if self.census_buckets <= 0:
+            # Resolve the cluster-relative width ONCE, at driver-side
+            # construction, so the concrete int ships into every actor —
+            # no driver/worker disagreement on an autoscaling cluster.
+            object.__setattr__(self, "census_buckets", bucket_width())
 
     @property
     def effective_minhash_mode(self) -> str:
@@ -182,6 +191,23 @@ class PipelineConfig:
     @property
     def rows_per_band(self) -> int:
         return self.num_perm // self.lsh_bands
+
+
+def bucket_width(floor: int = 64, per_cpu: int = 4) -> int:
+    """Cluster-relative width for the low-cardinality bucket-groupby idiom
+    (census, pair-hash dedup, LSH verify, sessionization): a fixed 64
+    saturates a 32-CPU box but caps a multi-node cluster at 64 concurrent
+    verify/dedup tasks, so the width is ``max(floor, per_cpu × CPUs)``.
+    Bucket assignment only partitions work — any width yields identical
+    results because every key/pair lands wholly in one bucket. Call on the
+    DRIVER and capture the concrete int in the stage closure / actor args."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
+    except Exception:
+        cpus = 0
+    return max(floor, per_cpu * cpus)
 
 
 def default_pool_size(requested: int | None = None) -> int:

@@ -77,12 +77,16 @@ def pairwise_f1(clusters: ray.data.Dataset, labeled_pairs: pa.Table) -> Pairwise
     return PairwiseReport(tp, fp, fn, tn, per_class)
 
 
-def _bio_entities(tags: list[str]) -> set[tuple[int, int, str]]:
+def _bio_entities(
+    tags: list[str], lenient_start: bool = False
+) -> set[tuple[int, int, str]]:
     """Entity spans (start_tok, end_tok_exclusive, type) from one BIO tag
-    sequence — seqeval's strict span extraction: an entity starts at B-X
-    (or a bare I-X after O / a different type, seqeval's lenient-start
-    convention is NOT applied: we require B- starts, matching the tagger's
-    own emission) and extends through consecutive I-X."""
+    sequence. Strict mode (default): an entity starts only at B-X, matching
+    the tagger's own emission — a stray I-X with no B- opener is dropped.
+    ``lenient_start=True`` applies seqeval's default IOB2 leniency instead
+    (an I-X after O / a different type STARTS an entity), for parity runs
+    against gold sequences authored under the seqeval convention (the
+    reference's training nb scores with seqeval)."""
     ents: set[tuple[int, int, str]] = set()
     start, typ = None, None
     for i, tag in enumerate(tags + ["O"]):
@@ -94,21 +98,29 @@ def _bio_entities(tags: list[str]) -> set[tuple[int, int, str]]:
                 start, typ = None, None
             if tag.startswith("B-"):
                 start, typ = i, tag[2:]
+            elif lenient_start and tag.startswith("I-"):
+                start, typ = i, tag[2:]
         elif tag.startswith("I-") and typ is None:
-            # stray I- without a B- opener: not an entity (strict mode)
-            pass
+            if lenient_start:
+                start, typ = i, tag[2:]
+            # else: stray I- without a B- opener — not an entity (strict)
     return ents
 
 
 def tagger_report(
-    pred_tags: list[list[str]], gold_tags: list[list[str]]
+    pred_tags: list[list[str]], gold_tags: list[list[str]],
+    lenient_start: bool = False,
 ) -> dict:
-    """Per-entity-type P/R/F1 + micro/macro over aligned BIO tag sequences —
-    the reference's seqeval harness analog (training nb cells 21, 26-28):
-    strict span-level matching (an entity counts only if type AND both
-    boundaries agree). Returns
-    ``{"per_label": {type: {precision, recall, f1, support}},
-    "micro": {...}, "macro": {...}}``."""
+    """Per-entity-type P/R/F1 + micro/macro + confusion matrix over aligned
+    BIO tag sequences — the reference's seqeval harness analog (training nb
+    cells 21, 26-28): strict span-level matching (an entity counts only if
+    type AND both boundaries agree). ``lenient_start`` switches span
+    extraction to seqeval's IOB2 leniency (see :func:`_bio_entities`).
+    Returns ``{"per_label": {type: {precision, recall, f1, support}},
+    "micro": {...}, "macro": {...}, "confusion": {gold_type: {pred_type:
+    pct}}}`` where confusion rows are boundary-matched entities plus an
+    ``"O"`` row/column for missed/spurious spans (reference: training nb
+    cell 28's %-confusion matrix), each row summing to 100.0 (±rounding)."""
     if len(pred_tags) != len(gold_tags):
         raise ValueError(
             f"pred/gold length mismatch: {len(pred_tags)} vs {len(gold_tags)}"
@@ -116,15 +128,31 @@ def tagger_report(
     tp: dict[str, int] = {}
     fp: dict[str, int] = {}
     fn: dict[str, int] = {}
+    conf: dict[str, dict[str, int]] = {}
+
+    def bump(gold_t: str, pred_t: str) -> None:
+        row = conf.setdefault(gold_t, {})
+        row[pred_t] = row.get(pred_t, 0) + 1
+
     for pseq, gseq in zip(pred_tags, gold_tags):
-        p = _bio_entities(pseq)
-        g = _bio_entities(gseq)
+        p = _bio_entities(pseq, lenient_start)
+        g = _bio_entities(gseq, lenient_start)
         for _, _, t in p & g:
             tp[t] = tp.get(t, 0) + 1
         for _, _, t in p - g:
             fp[t] = fp.get(t, 0) + 1
         for _, _, t in g - p:
             fn[t] = fn.get(t, 0) + 1
+        # confusion: boundary-matched spans pair gold type with pred type;
+        # unmatched gold spans go to the "O" column, unmatched pred spans
+        # to the "O" row (missed / spurious).
+        p_by_span = {(s, e): t for s, e, t in p}
+        g_by_span = {(s, e): t for s, e, t in g}
+        for span, gt in g_by_span.items():
+            bump(gt, p_by_span.get(span, "O"))
+        for span, pt in p_by_span.items():
+            if span not in g_by_span:
+                bump("O", pt)
 
     def prf(tp_, fp_, fn_) -> dict:
         prec = tp_ / (tp_ + fp_) if (tp_ + fp_) else 0.0
@@ -147,7 +175,17 @@ def tagger_report(
         if per_label else 0.0,
         "support": micro["support"],
     }
-    return {"per_label": per_label, "micro": micro, "macro": macro}
+    confusion = {
+        gt: {
+            pt: round(100.0 * n / sum(row.values()), 2)
+            for pt, n in sorted(row.items())
+        }
+        for gt, row in sorted(conf.items())
+    }
+    return {
+        "per_label": per_label, "micro": micro, "macro": macro,
+        "confusion": confusion,
+    }
 
 
 def explain_pair(result: dict[str, ray.data.Dataset], left_id: str, right_id: str) -> dict:

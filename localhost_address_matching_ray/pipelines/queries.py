@@ -979,20 +979,23 @@ WITH e AS (
   FROM events)
 SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM e GROUP BY user_id""",
-    "sessionization (30-min gap) via BUCKETED groupby — hash(user)%64 keeps "
-    "the shuffle at 64 groups (Ray's per-key groupby floor bites at real "
+    "sessionization (30-min gap) via BUCKETED groupby — hash(user) mod a "
+    "cluster-relative bucket_width() (Ray's per-key groupby floor bites at real "
     "user counts); per-user session runs are detected vectorized inside the "
     "bucket (one lexsort + diff/reduceat pass, no per-user Python)",
 )
 def events_user_sessions(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.config import bucket_width
+
     ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
     gap_us = 30 * 60 * 1_000_000
+    nb = np.uint64(bucket_width())
 
     def tag(t: pa.Table) -> pa.Table:
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = uid * np.uint64(0x9E3779B97F4A7C15)
         h ^= h >> np.uint64(33)
-        return t.append_column("ub", pa.array((h % np.uint64(64)).astype(np.int32)))
+        return t.append_column("ub", pa.array((h % nb).astype(np.int32)))
 
     def sessions_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:

@@ -29,6 +29,16 @@ def _cosine_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return duckdb_round((a @ b.T) / (na[:, None] * nb[None, :]), 6)
 
 
+def _empty_pairs() -> ray.data.Dataset:
+    """0-row (u, v, score) dataset with the pair schema every cosine-pair
+    entry point shares — the empty-input early return."""
+    return ray.data.from_arrow(pa.table({
+        "u": pa.array([], pa.int64()),
+        "v": pa.array([], pa.int64()),
+        "score": pa.array([], pa.float64()),
+    }))
+
+
 def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = batch[col].combine_chunks()
     flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
@@ -311,11 +321,15 @@ class _HyperplaneKeyer:
     vectorized pass (sign matmul → power-of-two dot → splitmix finalize).
     """
 
-    def __init__(self, dim: int, n_planes: int = 12, n_tables: int = 8, seed: int = 97) -> None:
+    def __init__(self, dim: int, n_planes: int = 12, n_tables: int = 8, seed: int = 97,
+                 n_buckets: int | None = None) -> None:
+        from localhost_address_matching_ray.config import bucket_width
+
         rng = np.random.RandomState(seed)
         self.planes = rng.randn(n_tables, n_planes, dim)
         self.n_tables = n_tables
         self._pw = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+        self.n_buckets = np.uint64(n_buckets or bucket_width())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _emb_matrix(batch)
@@ -334,14 +348,19 @@ class _HyperplaneKeyer:
         return pa.table({
             "vec_id": pa.array(np.tile(ids, self.n_tables), pa.int64()),
             "bucket_key": pa.array(kh, pa.uint64()),
-            "bucket": pa.array((kh % np.uint64(64)).astype(np.int32), pa.int32()),
+            "bucket": pa.array((kh % self.n_buckets).astype(np.int32), pa.int32()),
         })
 
 
-def _dedup_pairs_max_score(raw: ray.data.Dataset, buckets: int = 64) -> ray.data.Dataset:
+def _dedup_pairs_max_score(raw: ray.data.Dataset, buckets: int | None = None) -> ray.data.Dataset:
     """Distinct (u, v) keeping the MAX score — the pair-hash bucket idiom
     (``pairs.py:393-421``) instead of a high-cardinality
-    ``groupby(["u","v"])`` (Ray's per-key groupby floor)."""
+    ``groupby(["u","v"])`` (Ray's per-key groupby floor). Bucket width is
+    cluster-relative (``config.bucket_width``), resolved here on the driver
+    and captured in the tag closure."""
+    from localhost_address_matching_ray.config import bucket_width
+
+    buckets = buckets or bucket_width()
 
     def tag(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -419,6 +438,8 @@ def lsh_cosine_pairs(
     logger = logging.getLogger(__name__)
     emb = embeddings.select_columns(["vec_id", "embedding"]).materialize()
     n_rows = emb.count()
+    if n_rows == 0:
+        return _empty_pairs()
     cap = LSH_BROADCAST_MAX_ROWS if max_rows is None else max_rows
     if n_rows > cap:
         raise ValueError(

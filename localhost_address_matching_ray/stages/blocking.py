@@ -44,6 +44,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -194,6 +195,13 @@ class _PayloadEmitter:
         cfg = self.config
         idx, kh = _flat_hashes(batch)
         row_ids = batch["row_id"].to_pylist()
+        # Per-value width gate: mixed widths that sum to 16n (e.g. 8+24)
+        # would silently scramble rids across rows after the join below.
+        lens = pc.utf8_length(batch["row_id"])
+        if len(row_ids) and not pc.all(
+            pc.equal(lens, pa.scalar(16, pa.int32()))
+        ).as_py():
+            raise ValueError("blocking requires exactly-16-hex-char row_ids")
         try:
             rids = np.frombuffer(
                 bytes.fromhex("".join(row_ids)), dtype=">u8"
@@ -203,8 +211,6 @@ class _PayloadEmitter:
                 "blocking requires 16-hex-char row_ids (the normalize stage "
                 "emits sha256[:16]); got a non-hex id"
             ) from exc
-        if len(rids) != len(row_ids):
-            raise ValueError("blocking requires exactly-16-hex-char row_ids")
         sig8 = batch["sig8"].to_pylist()
         if sig8:
             sp16 = np.frombuffer(

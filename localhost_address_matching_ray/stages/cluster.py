@@ -80,7 +80,9 @@ def _hex16_col_to_u64(col: pa.ChunkedArray) -> "np.ndarray | None":
         return None
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
     start = int(offs[arr.offset])
-    if int(offs[arr.offset + n]) - start != 16 * n:
+    # Per-value check: mixed widths summing to 16*n must not silently
+    # mis-slice (same guard as _fixed_width_bytes).
+    if not np.all(np.diff(offs[arr.offset : arr.offset + n + 1]) == 16):
         return None
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[start : start + 16 * n]
     try:
@@ -314,7 +316,9 @@ def _fixed_width_bytes(col: pa.ChunkedArray | pa.Array, width: int) -> "np.ndarr
         return None
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
     start = int(offs[arr.offset])
-    if int(offs[arr.offset + n]) - start != width * n:
+    # Per-value width check: a total of width*n can hide mixed widths that
+    # sum right (e.g. 63+65); every value must be exactly `width` chars.
+    if not np.all(np.diff(offs[arr.offset : arr.offset + n + 1]) == width):
         return None
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[start : start + width * n]
     return data.view(f"S{width}")

@@ -196,7 +196,8 @@ _BK_P3 = np.uint64(0x94D049BB133111EB)
 
 
 def _doc_band_keyer_factory(num_perm: int, bands: int, k: int,
-                            minhash_mode: str = "oph"):
+                            minhash_mode: str = "oph",
+                            n_buckets: int | None = None):
     """MinHash LSH band keys for documents — KEY-ONLY emission.
 
     The candidates-then-verify shape (flagship lesson, round 1: carrying
@@ -210,6 +211,9 @@ def _doc_band_keyer_factory(num_perm: int, bands: int, k: int,
     """
     import hashlib
 
+    from localhost_address_matching_ray.config import bucket_width
+
+    nb = np.uint64(n_buckets or bucket_width())
     skey = ("band", num_perm, k)
     r = num_perm // bands
     band_mix = (np.arange(bands, dtype=np.uint64) + np.uint64(1)) * _BK_P2
@@ -276,7 +280,7 @@ def _doc_band_keyer_factory(num_perm: int, bands: int, k: int,
                 pa.int64(),
             ),
             "band_key": pa.array(kh, pa.uint64()),
-            "bucket": pa.array((kh % np.uint64(64)).astype(np.int32), pa.int32()),
+            "bucket": pa.array((kh % nb).astype(np.int32), pa.int32()),
         })
 
     return emit
@@ -537,6 +541,33 @@ def near_dedup_keep(
     return keep_representatives(docs, pairs, id_col="doc_id")
 
 
+def _i64_col_to_hex16(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Non-negative int64 column → 16-hex zero-padded strings, one
+    ``hexlify`` over the whole buffer instead of a per-row ``format``."""
+    import binascii
+
+    ids = np.asarray(
+        col.to_numpy(zero_copy_only=False) if hasattr(col, "to_numpy") else col,
+        dtype=np.int64,
+    )
+    hexs = np.frombuffer(
+        binascii.hexlify(ids.astype(">u8").tobytes()), dtype="S16"
+    )
+    return pa.array(np.char.decode(hexs, "ascii"), pa.string())
+
+
+def _hex16_col_to_i64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """16-hex string column → int64 array via the zero-copy u64 buffer view
+    (Python-loop fallback for non-16-hex values)."""
+    from localhost_address_matching_ray.stages.cluster import _hex16_col_to_u64
+
+    u = _hex16_col_to_u64(col)
+    if u is not None:
+        return u.astype(np.int64)
+    vals = col.to_pylist() if hasattr(col, "to_pylist") else list(col)
+    return np.array([int(x, 16) for x in vals], dtype=np.int64)
+
+
 def keep_representatives(
     items: ray.data.Dataset, pairs: ray.data.Dataset, id_col: str,
     components_collect_max: int = 5_000_000,
@@ -562,8 +593,8 @@ def keep_representatives(
         # 16-hex zero-padded ids preserve int order, unlocking the CC
         # stage's vectorized u64 fast path
         return pa.table({
-            "u": pa.array([format(x, "016x") for x in batch["u"].to_pylist()], pa.string()),
-            "v": pa.array([format(x, "016x") for x in batch["v"].to_pylist()], pa.string()),
+            "u": _i64_col_to_hex16(batch["u"]),
+            "v": _i64_col_to_hex16(batch["v"]),
         })
 
     comps = connected_components(
@@ -579,10 +610,8 @@ def keep_representatives(
     comp_tbl = _collect(
         comps, pa.schema([("row_id", pa.string()), ("cluster_label", pa.string())])
     )
-    nodes = np.array([int(x, 16) for x in comp_tbl["row_id"].to_pylist()], dtype=np.int64)
-    labels = np.array(
-        [int(x, 16) for x in comp_tbl["cluster_label"].to_pylist()], dtype=np.int64
-    )
+    nodes = _hex16_col_to_i64(comp_tbl["row_id"])
+    labels = _hex16_col_to_i64(comp_tbl["cluster_label"])
     dropped = np.sort(nodes[nodes != labels])
     reps, counts = np.unique(labels, return_counts=True)  # sorted by construction
     drop_ref = ray.put(dropped)
@@ -628,12 +657,8 @@ def _keep_representatives_join(
 
     def to_int(t: pa.Table) -> pa.Table:
         return pa.table({
-            "node": pa.array(
-                [int(x, 16) for x in t["row_id"].to_pylist()], pa.int64()
-            ),
-            "label": pa.array(
-                [int(x, 16) for x in t["cluster_label"].to_pylist()], pa.int64()
-            ),
+            "node": pa.array(_hex16_col_to_i64(t["row_id"]), pa.int64()),
+            "label": pa.array(_hex16_col_to_i64(t["cluster_label"]), pa.int64()),
         })
 
     comp_int = comps.map_batches(to_int, batch_format="pyarrow").materialize()
@@ -648,15 +673,19 @@ def _keep_representatives_join(
     )
 
     def keep_only(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        lab = t["label"].to_numpy(zero_copy_only=False)
-        # null label → untouched item; label == id → representative
-        mask = pa.compute.is_null(t["label"]).to_numpy(zero_copy_only=False) | (
-            lab == ids
+        # null label → untouched item; label == id → representative.
+        # Compare in Arrow: to_numpy on a null-bearing int64 column yields
+        # float64+NaN, which loses exactness for ids >= 2^53.
+        mask = pa.compute.or_kleene(
+            pa.compute.is_null(t["label"]),
+            pa.compute.fill_null(
+                pa.compute.equal(t["label"], t[id_col]), False
+            ),
         )
+        kept_t = t.filter(mask)
         return pa.table({
-            id_col: pa.array(ids[mask], pa.int64()),
-            "label": t["label"].filter(pa.array(mask)),
+            id_col: kept_t[id_col].cast(pa.int64()),
+            "label": kept_t["label"],
         })
 
     kept = joined.map_batches(keep_only, batch_format="pyarrow")
@@ -785,6 +814,10 @@ def simhash_pairs(
     fingerprints — exact-dedup territory) or at the depth cap.
     """
 
+    from localhost_address_matching_ray.config import bucket_width
+
+    nb = np.uint64(bucket_width())
+
     def hasher(batch: pa.Table) -> pa.Table:
             import hashlib
 
@@ -827,7 +860,7 @@ def simhash_pairs(
             return pa.table({
                 "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
                 "key": pa.array(kh, pa.uint64()),
-                "bucket": pa.array((kh % np.uint64(64)).astype(np.int32), pa.int32()),
+                "bucket": pa.array((kh % nb).astype(np.int32), pa.int32()),
                 "simhash": pa.array(np.concatenate(out_sh), pa.uint64()),
                 "blk": pa.array(np.concatenate(out_blk), pa.int32()),
             })
@@ -897,7 +930,7 @@ def simhash_pairs(
             return t.append_column("pb", pa.array([], pa.int32()))
         u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
         v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        pb = ((u * _SH_MIX1 ^ v * _SH_MIX2) % np.uint64(64)).astype(np.int32)
+        pb = ((u * _SH_MIX1 ^ v * _SH_MIX2) % nb).astype(np.int32)
         return t.append_column("pb", pa.array(pb, pa.int32()))
 
     def dedup(g: pa.Table) -> pa.Table:
