@@ -31,6 +31,17 @@ def write_lang_configs(configs: dict[str, LangConfig], path: str) -> str:
     """Serialize a LangConfig dict to a dimension file (.parquet or .csv)."""
     langs = sorted(configs)
     rows = [configs[lang] for lang in langs]
+    if path.endswith(".xlsx"):
+        from localhost_address_matching_ray.sources.xlsx import write_xlsx
+
+        return write_xlsx(path, [
+            ["lang", "comment_styles", "stop_tokens", "shingle_k"],
+            *[
+                [lc.lang, "|".join(lc.comment_styles), "|".join(lc.stop_tokens),
+                 lc.shingle_k]
+                for lc in rows
+            ],
+        ])
     if path.endswith(".csv"):
         import csv
 
@@ -61,8 +72,35 @@ def write_lang_configs(configs: dict[str, LangConfig], path: str) -> str:
 
 def load_lang_configs(path: str) -> dict[str, LangConfig]:
     """Driver-side one-time read of the dimension file → LangConfig dict
-    (the ``Turkey.load`` analog). Accepts .parquet or .csv."""
+    (the ``Turkey.load`` analog). Accepts .parquet, .csv or .xlsx (the
+    reference's gazetteer is an Excel workbook, map.py:101-125: read, drop
+    the header row, select columns — mirrored here via the stdlib xlsx
+    reader; duplicate langs: last row wins, like a dict build)."""
     ext = os.path.splitext(path)[1].lower()
+    if ext == ".xlsx":
+        from localhost_address_matching_ray.sources.xlsx import read_xlsx_rows
+
+        rows = read_xlsx_rows(path)
+        if not rows:
+            return {}
+        header = rows[0]
+        idx = {name: i for i, name in enumerate(header)}
+        out: dict[str, LangConfig] = {}
+        for row in rows[1:]:
+            lang = row[idx["lang"]]
+            if not lang:
+                continue
+            out[lang] = LangConfig(
+                lang=lang,
+                comment_styles=tuple(
+                    s for s in row[idx["comment_styles"]].split("|") if s
+                ),
+                stop_tokens=tuple(
+                    s for s in row[idx["stop_tokens"]].split("|") if s
+                ),
+                shingle_k=int(float(row[idx["shingle_k"]])),
+            )
+        return out
     if ext == ".csv":
         import csv
 

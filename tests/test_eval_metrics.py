@@ -103,6 +103,46 @@ def test_tagger_report_per_label():
     assert rep2["micro"]["f1"] == 1.0 and set(rep2["per_label"]) >= {"URL", "NUM"}
 
 
+def test_tagger_report_confusion_matrix():
+    """%-confusion over boundary-matched spans (training nb cell 28 analog):
+    matched spans pair gold type with pred type; missed gold spans land in
+    the O column, spurious pred spans in the O row; rows sum to 100."""
+    from localhost_address_matching_ray.pipelines.eval import tagger_report
+
+    gold = [
+        ["B-NUM", "O", "B-URL", "O"],   # NUM matched as NUM; URL mislabeled NUM
+        ["B-NUM", "O", "O"],             # NUM missed entirely
+    ]
+    pred = [
+        ["B-NUM", "O", "B-NUM", "O"],
+        ["O", "O", "B-URL"],             # spurious URL
+    ]
+    conf = tagger_report(pred, gold)["confusion"]
+    assert conf["NUM"] == {"NUM": 50.0, "O": 50.0}   # 1 matched, 1 missed
+    assert conf["URL"] == {"NUM": 100.0}             # mislabeled
+    assert conf["O"] == {"URL": 100.0}               # spurious
+    for row in conf.values():
+        assert abs(sum(row.values()) - 100.0) < 0.05
+
+
+def test_tagger_report_lenient_start():
+    """seqeval's IOB2 leniency: a bare I-X after O starts an entity. Strict
+    mode (default) drops it; lenient mode scores it — parity flag for gold
+    authored under the seqeval convention (ADVICE round 3)."""
+    from localhost_address_matching_ray.pipelines.eval import tagger_report
+
+    gold = [["O", "I-NUM", "I-NUM", "O"]]   # seqeval-style bare I- entity
+    pred = [["O", "B-NUM", "I-NUM", "O"]]
+    strict = tagger_report(pred, gold)
+    assert strict["micro"]["recall"] == 0.0   # gold span invisible in strict
+    lenient = tagger_report(pred, gold, lenient_start=True)
+    assert lenient["micro"]["f1"] == 1.0
+    # type change mid-entity also starts a new one under leniency
+    gold2 = [["B-URL", "I-NUM", "O"]]
+    pred2 = [["B-URL", "B-NUM", "O"]]
+    assert tagger_report(pred2, gold2, lenient_start=True)["micro"]["f1"] == 1.0
+
+
 def test_tagger_report_length_mismatch():
     import pytest
 

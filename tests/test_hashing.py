@@ -92,6 +92,33 @@ def test_rolling_fingerprint_deterministic():
     assert rolling_fingerprint("hello world") != rolling_fingerprint("hello worle")
 
 
+def test_rolling_fingerprint_golden_vectors():
+    """Hard-coded expected values (computed independently via the modular
+    power-sum form sum(b_i * base^(n-1-i)) mod p) pin the polynomial's base,
+    modulus, byte order and utf-8 encoding: a sign/width/order bug changes
+    every one of these."""
+    assert rolling_fingerprint("") == 0
+    assert rolling_fingerprint("a") == 97          # single byte: h = ord('a')
+    assert rolling_fingerprint("ab") == 97000389   # 97*1000003 + 98
+    assert rolling_fingerprint("hello world") == 2083453854010787712
+    assert rolling_fingerprint("héllo") == 1026061838219594018  # utf-8 multibyte
+    assert rolling_fingerprint("x" * 100) == 2223964726378295274  # > window/word widths
+
+
+def test_rolling_fingerprint_matches_independent_form():
+    """Cross-check against the closed-form Horner expansion for arbitrary
+    strings — an independent implementation, not a re-run of the kernel."""
+    base, mod = 1000003, (1 << 61) - 1
+
+    def indep(text: str) -> int:
+        bs = text.encode("utf-8")
+        n = len(bs)
+        return sum(b * pow(base, n - 1 - i, mod) for i, b in enumerate(bs)) % mod
+
+    for s in ["", "a", "polynomial", "héllo wörld", "x" * 257, "\n\t mixed 123"]:
+        assert rolling_fingerprint(s) == indep(s)
+
+
 def test_shingle_short_doc():
     th = TokenHasher()
     # fewer tokens than k → one shingle over all tokens, not empty

@@ -32,6 +32,52 @@ def test_lang_config_roundtrip_csv(tmp_path):
     assert load_lang_configs(p) == _dim_configs()
 
 
+def test_lang_config_roundtrip_xlsx(tmp_path):
+    """The reference's gazetteer source is an Excel workbook
+    (map.py:101-125) — the .xlsx path must round-trip like parquet/csv."""
+    p = str(tmp_path / "dims.xlsx")
+    write_lang_configs(_dim_configs(), p)
+    assert load_lang_configs(p) == _dim_configs()
+
+
+def test_xlsx_reader_handles_shared_strings_and_gaps(tmp_path):
+    """Excel-authored workbooks use sharedStrings and omit empty cells —
+    build one by hand (sharedStrings part + sparse cell refs) and check the
+    reader reconstructs rows with gaps filled and numbers as text."""
+    import zipfile
+
+    from localhost_address_matching_ray.sources.xlsx import (
+        read_xlsx_rows,
+        write_xlsx,
+    )
+
+    # start from our own writer for the envelope, then swap in a
+    # sharedStrings-based sheet like Excel emits
+    p = str(tmp_path / "excel_style.xlsx")
+    write_xlsx(p, [["placeholder"]])
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>42</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    sst = (
+        f'<?xml version="1.0"?><sst {ns} count="3" uniqueCount="3">'
+        "<si><t>lang</t></si><si><t>k</t></si>"
+        "<si><r><t>py</t></r><r><t>thon</t></r></si></sst>"  # rich-text runs
+    )
+    with zipfile.ZipFile(p) as zf:
+        parts = {n: zf.read(n) for n in zf.namelist()}
+    parts["xl/worksheets/sheet1.xml"] = sheet.encode()
+    parts["xl/sharedStrings.xml"] = sst.encode()
+    with zipfile.ZipFile(p, "w") as zf:
+        for n, data in parts.items():
+            zf.writestr(n, data)
+    rows = read_xlsx_rows(p)
+    assert rows == [["lang", "", "k"], ["python", "42", ""]]
+
+
 def test_dimension_file_drives_actor_state(tmp_path):
     """File → LangConfig dict → feature-stage worker state: the per-lang
     comment style from the FILE decides which tokens survive (map.py:101-125
