@@ -584,68 +584,283 @@ def ivf_cosine_pairs(
     n_probe: int = 4,
     sample_cap: int = 8192,
     seed: int = 211,
+    verify_broadcast_max_rows: int | None = None,
 ) -> ray.data.Dataset:
     """IVF-bucketed cosine near-dup pairs — the scale structure for LOW
     thresholds, where hyperplane LSH degenerates (a plane agrees on a
-    cos≥0.45 pair only ~65% of the time; see :func:`lsh_cosine_pairs`).
+    cos>=0.45 pair only ~65% of the time; see :func:`lsh_cosine_pairs`).
 
-    Coarse-quantize with spherical k-means (deterministic seed, driver-side
-    sample), assign every vector to its ``n_probe`` nearest cells
-    (multi-probe: a near pair straddling a cell boundary still co-occurs in
-    some probed cell), verify candidates with the exact rounded cosine per
-    cell. Cost: O(rows·n_probe) emission + per-cell pairwise; expected cell
-    occupancy rows·n_probe/n_cells — tune n_cells ∝ √rows. Approximate
-    recall (empirically ≈1 at moderate thresholds), exact precision —
-    rows-only checked, with the brute-force cross-check in tests.
+    CANDIDATES-THEN-VERIFY (round-4: the ``stages/pairs.py`` shape — the
+    previous version shipped every float32 vector through the cell shuffle
+    on each of its ``n_probe`` probed cells, packed by a per-row Python
+    ``tobytes`` loop):
+
+    1. **assign** — coarse-quantize with spherical k-means (deterministic
+       seed, driver-side spread sample); each row emits ``n_probe`` KEY-ONLY
+       (vec_id int64, cell int32) rows — 12 B, no vector bytes in the
+       shuffle (multi-probe: a near pair straddling a cell boundary still
+       co-occurs in some probed cell — the pair set is EXACTLY the old
+       co-occurrence semantics).
+    2. **candidates** — per-cell distinct all-pairs (key-only, 16 B/pair),
+       then cross-cell dedup via the bucketed pair-hash idiom, so every
+       surviving pair is scored exactly once (the old path rescored a
+       straddling pair per shared cell and kept the max ulp).
+    3. **verify** — vectors are fetched for ONLY the rows that appear in a
+       candidate pair: one filtered pass over the embeddings builds a
+       (sorted ids, float32 matrix) broadcast bundle below
+       ``verify_broadcast_max_rows`` involved rows (default
+       ``IVF_VERIFY_BROADCAST_MAX_ROWS``); above it the same scoring runs
+       as two partitioned hash joins on vectorized fixed-size-binary
+       vectors (each vector ships once per pair occurrence — stated,
+       logged). Scores are the exact rounded float64 cosine of the
+       float32-roundtripped vectors, identical to the previous path.
+
+    Cost: O(rows * n_probe) key emission + per-cell pair generation;
+    expected cell occupancy rows*n_probe/n_cells — tune n_cells
+    proportional to sqrt(rows). Approximate recall (empirically ~1 at
+    moderate thresholds; brute cross-check in tests), exact precision.
     """
-    sample_tbl = _centroid_sample(embeddings, sample_cap)
+    import logging
+
+    logger = logging.getLogger(__name__)
+    slim = embeddings.select_columns(["vec_id", "embedding"]).materialize()
+    if slim.count() == 0:
+        return _empty_pairs()
+    sample_tbl = _centroid_sample(slim, sample_cap)
     dim = len(sample_tbl["embedding"][0])
     cent = _spherical_kmeans(_emb_matrix(sample_tbl), n_cells, seed=seed)
     cent_ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:
-        c = ray.get(cent_ref)
+        c = _cached_bundle(cent_ref)
         m = _emb_matrix(batch)
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = mn @ c.T
         p = min(n_probe, sims.shape[1])
         cells = np.argsort(-sims, axis=1, kind="stable")[:, :p]
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        vec_bytes = [m[i].astype(np.float32).tobytes() for i in range(len(ids))]
         return pa.table({
             "vec_id": pa.array(np.repeat(ids, p), pa.int64()),
             "cell": pa.array(cells.ravel().astype(np.int32), pa.int32()),
-            "vec": pa.array([vec_bytes[i] for i in np.repeat(np.arange(len(ids)), p)],
-                            pa.binary()),
         })
 
-    assigned = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
-        assign, batch_format="pyarrow", batch_size=4096
+    assigned = slim.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+
+    def cell_pairs(group: pa.Table) -> pa.Table:
+        """One cell -> distinct key-only candidate pairs (u < v)."""
+        ids = np.unique(group["vec_id"].to_numpy(zero_copy_only=False))
+        k = len(ids)
+        if k < 2:
+            return pa.table({
+                "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+            })
+        iu, jv = np.triu_indices(k, 1)
+        return pa.table({
+            "u": pa.array(ids[iu], pa.int64()),
+            "v": pa.array(ids[jv], pa.int64()),
+        })
+
+    raw_pairs = assigned.groupby("cell").map_groups(
+        cell_pairs, batch_format="pyarrow"
+    )
+    pairs = _distinct_pairs_keyonly(raw_pairs).materialize()
+    involved = _involved_vec_ids(pairs)
+    cap = (
+        IVF_VERIFY_BROADCAST_MAX_ROWS
+        if verify_broadcast_max_rows is None else verify_broadcast_max_rows
+    )
+    if len(involved) == 0:
+        return _empty_pairs()
+    if len(involved) <= cap:
+        return _score_pairs_broadcast(pairs, slim, involved, threshold, dim)
+    logger.info(
+        "ivf_cosine_pairs: %d involved rows > broadcast ceiling %d — "
+        "partitioned-join scoring", len(involved), cap,
+    )
+    return _score_pairs_join(pairs, slim, threshold, dim)
+
+
+def _distinct_pairs_keyonly(
+    raw: ray.data.Dataset, buckets: int | None = None
+) -> ray.data.Dataset:
+    """Distinct (u, v) over a key-only pair stream — the pair-hash bucket
+    idiom without a score column."""
+    from localhost_address_matching_ray.config import bucket_width
+
+    nb = np.uint64(buckets or bucket_width())
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("pb", pa.array([], pa.int32()))
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = ((u * _LSH_P1 ^ v * _LSH_P3) % nb).astype(np.int32)
+        return t.append_column("pb", pa.array(pb, pa.int32()))
+
+    def dedup(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table({
+                "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+            })
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        keep = np.concatenate(([True], (u[1:] != u[:-1]) | (v[1:] != v[:-1])))
+        return pa.table({
+            "u": pa.array(u[keep], pa.int64()),
+            "v": pa.array(v[keep], pa.int64()),
+        })
+
+    return raw.map_batches(tag, batch_format="pyarrow").groupby("pb").map_groups(
+        dedup, batch_format="pyarrow"
     )
 
-    def verify_cell(group: pa.Table) -> pa.Table:
-        k = group.num_rows
-        empty = pa.table({
-            "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
-            "score": pa.array([], pa.float64()),
-        })
-        if k < 2:
-            return empty
-        ids = group["vec_id"].to_numpy(zero_copy_only=False)
-        m = np.frombuffer(b"".join(group["vec"].to_pylist()), dtype=np.float32)
-        m = m.reshape(k, dim).astype(np.float64)
-        sims = _cosine_matrix(m, m)
-        iu = np.triu_indices(k, 1)
-        mask = (sims[iu] >= threshold) & (ids[iu[0]] != ids[iu[1]])
-        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+
+def _involved_vec_ids(pairs: ray.data.Dataset) -> np.ndarray:
+    """Sorted unique int64 vec_ids appearing in any candidate pair — one
+    per-batch unique pass, then a driver-side merge (ids only, 8 B each)."""
+
+    def uniq(t: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate((
+            t["u"].to_numpy(zero_copy_only=False),
+            t["v"].to_numpy(zero_copy_only=False),
+        ))) if t.num_rows else np.empty(0, np.int64)
+        return pa.table({"id": pa.array(ids, pa.int64())})
+
+    tbls = [
+        t for t in ray.get(
+            pairs.map_batches(uniq, batch_format="pyarrow").to_arrow_refs()
+        ) if t.num_rows
+    ]
+    if not tbls:
+        return np.empty(0, np.int64)
+    return np.unique(
+        pa.concat_tables(tbls)["id"].to_numpy(zero_copy_only=False)
+    )
+
+
+def _score_pairs_broadcast(
+    pairs: ray.data.Dataset, slim: ray.data.Dataset, involved: np.ndarray,
+    threshold: float, dim: int,
+) -> ray.data.Dataset:
+    """Exact rounded-cosine scoring of a key-only pair stream against a
+    broadcast (sorted ids, float32 matrix) bundle of ONLY the involved
+    rows."""
+    inv_ref = ray.put(involved)
+
+    def fetch(t: pa.Table) -> pa.Table:
+        inv = _cached_bundle(inv_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(inv, ids), len(inv) - 1)
+        return t.filter(pa.array(inv[pos] == ids))
+
+    tbl = pa.concat_tables([
+        t for t in ray.get(
+            slim.map_batches(fetch, batch_format="pyarrow").to_arrow_refs()
+        ) if t.num_rows
+    ])
+    ids_all = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids_all)
+    bundle_ref = ray.put(
+        (ids_all[order], _emb_matrix(tbl).astype(np.float32)[order])
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(dict(_EMPTY_PAIR_COLS))
+        ids_s, m32 = _cached_bundle(bundle_ref)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        mu = m32[np.searchsorted(ids_s, u)].astype(np.float64)
+        mv = m32[np.searchsorted(ids_s, v)].astype(np.float64)
+        dots = (mu * mv).sum(axis=1)
+        nu = np.sqrt((mu * mu).sum(axis=1))
+        nv = np.sqrt((mv * mv).sum(axis=1))
+        s = duckdb_round(dots / (nu * nv), 6)
+        keep = (s >= threshold) & (u != v)
         return pa.table({
-            "u": pa.array(np.minimum(a, b), pa.int64()),
-            "v": pa.array(np.maximum(a, b), pa.int64()),
-            "score": pa.array(sims[iu][mask], pa.float64()),
+            "u": pa.array(u[keep], pa.int64()),
+            "v": pa.array(v[keep], pa.int64()),
+            "score": pa.array(s[keep], pa.float64()),
         })
 
-    raw = assigned.groupby("cell").map_groups(verify_cell, batch_format="pyarrow")
-    # a pair straddling probed cells is found in several cells whose gemms
-    # can differ in the last ulp — keep max, via the bucketed idiom (not a
-    # high-cardinality pair-key groupby)
-    return _dedup_pairs_max_score(raw)
+    return pairs.map_batches(score, batch_format="pyarrow")
+
+
+def _fsb_to_mat(col: pa.ChunkedArray | pa.Array, dim: int) -> np.ndarray:
+    """FixedSizeBinary(4*dim) column -> (n, dim) float32, zero-copy from the
+    value buffer."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    buf = np.frombuffer(arr.buffers()[1], dtype=np.float32)
+    start = arr.offset * dim
+    return buf[start : start + len(arr) * dim].reshape(len(arr), dim)
+
+
+def _score_pairs_join(
+    pairs: ray.data.Dataset, slim: ray.data.Dataset, threshold: float, dim: int,
+) -> ray.data.Dataset:
+    """Beyond-broadcast scoring: vectors packed VECTORIZED into
+    FixedSizeBinary(4*dim) (one astype + buffer view — no per-row
+    ``tobytes``), then two partitioned hash joins attach u's and v's vector
+    to each pair. Each vector ships once per pair occurrence — the stated
+    beyond-broadcast trade."""
+    from localhost_address_matching_ray.stages.cluster import (
+        _JOIN_ARGS,
+        _partitions_for,
+    )
+
+    fsb_type = pa.binary(4 * dim)
+
+    def pack(t: pa.Table) -> pa.Table:
+        m = np.ascontiguousarray(_emb_matrix(t).astype(np.float32))
+        fsb = pa.FixedSizeBinaryArray.from_buffers(
+            fsb_type, t.num_rows, [None, pa.py_buffer(m.tobytes())]
+        )
+        return pa.table({"vid": t["vec_id"], "vec": fsb})
+
+    vecs = slim.map_batches(pack, batch_format="pyarrow").materialize()
+    parts = _partitions_for(max(pairs.count(), 1))
+    ju = pairs.join(
+        vecs, join_type="inner", num_partitions=parts,
+        on=("u",), right_on=("vid",), **_JOIN_ARGS,
+    ).map_batches(
+        lambda t: pa.table({"u": t["u"], "v": t["v"], "uvec": t["vec"]}),
+        batch_format="pyarrow",
+    )
+    jv = ju.join(
+        vecs, join_type="inner", num_partitions=parts,
+        on=("v",), right_on=("vid",), **_JOIN_ARGS,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(dict(_EMPTY_PAIR_COLS))
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        mu = _fsb_to_mat(t["uvec"], dim).astype(np.float64)
+        mv = _fsb_to_mat(t["vec"], dim).astype(np.float64)
+        dots = (mu * mv).sum(axis=1)
+        nu = np.sqrt((mu * mu).sum(axis=1))
+        nv = np.sqrt((mv * mv).sum(axis=1))
+        s = duckdb_round(dots / (nu * nv), 6)
+        keep = (s >= threshold) & (u != v)
+        return pa.table({
+            "u": pa.array(u[keep], pa.int64()),
+            "v": pa.array(v[keep], pa.int64()),
+            "score": pa.array(s[keep], pa.float64()),
+        })
+
+    return jv.map_batches(score, batch_format="pyarrow")
+
+
+#: ivf verify broadcasts (sorted involved ids, float32 matrix); above this
+#: involved-row count the bundle no longer fits a worker heap and scoring
+#: falls back to partitioned joins over fixed-size-binary vectors.
+IVF_VERIFY_BROADCAST_MAX_ROWS = 2_000_000
+
+_EMPTY_PAIR_COLS = {
+    "u": pa.array([], pa.int64()),
+    "v": pa.array([], pa.int64()),
+    "score": pa.array([], pa.float64()),
+}

@@ -28,7 +28,22 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
+
+#: Exactly the codepoints Python's ``re`` \s (== str.isspace()) matches —
+#: verified exhaustively over the full codepoint range in
+#: test_tagger.py::test_whitespace_lut_matches_re. Unicode's White_Space
+#: property differs (it lacks 0x1c-0x1f), so Arrow's utf8_split_whitespace
+#: can NOT be used: token boundaries must equal ``\S+`` finditer's.
+_WS_CODEPOINTS = (
+    0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20,
+    0x85, 0xA0, 0x1680,
+    0x2000, 0x2001, 0x2002, 0x2003, 0x2004, 0x2005, 0x2006, 0x2007,
+    0x2008, 0x2009, 0x200A, 0x2028, 0x2029, 0x202F, 0x205F, 0x3000,
+)
+_WS_LUT = np.zeros(0x3001, dtype=bool)
+_WS_LUT[list(_WS_CODEPOINTS)] = True
 
 #: ordered, first-wins token classification rules — (type, pattern). The
 #: CASE-expression mirror lives in the doc_entity_tags oracle SQL; keep both
@@ -135,12 +150,47 @@ def join_entities_flat(spans: list[Span], flat_texts: list[str]) -> str:
 class EntityTagger:
     """Callable-class actor: compiled rule set built once per actor
     (``__init__``), batches tagged in ``__call__`` — the reference's
-    "load model once, stream batches" split with real state."""
+    "load model once, stream batches" split with real state.
 
-    def __init__(self, rules: list[tuple[str, str]] | None = None) -> None:
-        self.rules = [
-            (name, re.compile(pat)) for name, pat in (rules or DEFAULT_RULES)
-        ]
+    ``__call__`` is fully vectorized (round-3 VERDICT ask #4): the batch is
+    tokenized in ONE numpy pass over the concatenated codepoint array,
+    rules run once per UNIQUE token via Arrow's RE2 ``match_substring_regex``
+    (first-wins emulated by applying rules in reverse), and BIO tags /
+    entity runs / per-doc joins come from numpy run detection + Arrow
+    ``binary_join`` — per-ENTITY Python survives only in the (sparse) raw
+    text slices. :meth:`tag_one` keeps the scalar reference path; the two
+    must agree (fuzz-tested in test_tagger.py).
+
+    RE2 caveat: a user rule RE2 cannot compile (lookarounds, backrefs)
+    falls back to Python ``re`` over unique tokens automatically; a rule
+    that compiles but means something different under RE2 (``\\d``/``\\w``
+    are ASCII there) should be written with explicit classes (the default
+    rules are) or forced scalar with ``vectorize=False``."""
+
+    def __init__(
+        self, rules: list[tuple[str, str]] | None = None, vectorize: bool = True
+    ) -> None:
+        raw = list(rules or DEFAULT_RULES)
+        self.rules = [(name, re.compile(pat)) for name, pat in raw]
+        self._rule_pats = raw
+        self._vectorize = vectorize
+        self._type_names = np.array(["O"] + [name for name, _ in raw])
+        #: tag-string dictionary: idx 0 = "O", 1..k = B-<type>, k+1..2k = I-
+        #: (BIO tags become one int-index build + one C dictionary decode —
+        #: np.char.add measured at half the batch wall)
+        self._tag_dict = pa.array(
+            ["O"] + [f"B-{n}" for n, _ in raw] + [f"I-{n}" for n, _ in raw],
+            pa.string(),
+        )
+        self._n_rules = len(raw)
+        #: per-rule: RE2-compilable? probed once per actor
+        self._re2_ok = []
+        for _, pat in raw:
+            try:
+                pc.match_substring_regex(pa.array(["probe"]), pattern=pat)
+                self._re2_ok.append(True)
+            except pa.ArrowInvalid:
+                self._re2_ok.append(False)
 
     def tag_one(self, text: str) -> tuple[list[str], list[Span], list[str]]:
         toks = token_spans(text)
@@ -149,7 +199,127 @@ class EntityTagger:
         tags = spans_to_bio(text, spans)
         return tags, spans, flat_texts
 
+    def _classify_unique(self, uniq: pa.Array) -> np.ndarray:
+        """Type code (0='O', i+1=rule i) per unique token — first-wins via
+        reverse application so earlier rules overwrite later ones."""
+        codes = np.zeros(len(uniq), dtype=np.int32)
+        uniq_py: list[str] | None = None
+        for i in range(len(self._rule_pats) - 1, -1, -1):
+            name, pat = self._rule_pats[i]
+            if self._re2_ok[i]:
+                m = pc.match_substring_regex(uniq, pattern=pat).to_numpy(
+                    zero_copy_only=False
+                )
+            else:
+                if uniq_py is None:
+                    uniq_py = uniq.to_pylist()
+                rx = self.rules[i][1]
+                m = np.fromiter(
+                    (rx.search(t) is not None for t in uniq_py),
+                    dtype=bool, count=len(uniq_py),
+                )
+            codes[m] = i + 1
+        return codes
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        n_docs = batch.num_rows
+        if n_docs == 0 or not self._vectorize:
+            return self._call_scalar(batch)
+        texts = batch["text"].to_pylist()
+        big = "\n".join(texts)  # '\n' is whitespace: tokens never span docs
+        u32 = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32)
+        lens = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False)
+        doc_start = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=doc_start[1:])
+        # --- tokenize: one mask pass (exact Python-\s semantics via LUT) ---
+        is_ws = (u32 <= 0x3000) & _WS_LUT[np.minimum(u32, 0x3000)]
+        nonws = ~is_ws
+        starts = nonws & ~np.concatenate(([False], nonws[:-1]))
+        ends = nonws & ~np.concatenate((nonws[1:], [False]))
+        tok_start_abs = np.flatnonzero(starts)
+        tok_end_abs = np.flatnonzero(ends) + 1
+        n_tok = len(tok_start_abs)
+        toks = big.split()  # same whitespace set as the LUT (str.isspace)
+        assert len(toks) == n_tok, "tokenizer mask / str.split disagreement"
+        doc_idx = np.searchsorted(doc_start, tok_start_abs, side="right") - 1
+        tok_start = tok_start_abs - doc_start[doc_idx]
+        tok_end = tok_end_abs - doc_start[doc_idx]
+        # --- classify unique tokens only ---
+        tok_arr = pa.array(toks, pa.string())
+        d = tok_arr.dictionary_encode()
+        tok_code = self._classify_unique(d.dictionary)[
+            d.indices.to_numpy(zero_copy_only=False)
+        ] if n_tok else np.empty(0, np.int32)
+        # --- run detection: entity = maximal same-type run within a doc ---
+        if n_tok:
+            new_run = np.concatenate(([True], (doc_idx[1:] != doc_idx[:-1])
+                                      | (tok_code[1:] != tok_code[:-1])))
+        else:
+            new_run = np.empty(0, bool)
+        is_ent = tok_code > 0
+        is_b = new_run & is_ent
+        # BIO tag per token: int index into the precomputed tag dictionary,
+        # decoded in one C take — no per-token string building
+        tag_idx = np.where(
+            is_ent, tok_code + np.where(is_b, 0, self._n_rules), 0
+        ).astype(np.int32)
+        tag_sarr = pa.DictionaryArray.from_arrays(
+            pa.array(tag_idx), self._tag_dict
+        ).cast(pa.string())
+        tok_per_doc = np.bincount(doc_idx, minlength=n_docs)
+        t_off = np.zeros(n_docs + 1, dtype=np.int32)
+        np.cumsum(tok_per_doc, out=t_off[1:])
+        pred = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(t_off), tag_sarr), " "
+        )
+        # --- entities: run starts/ends → char spans ---
+        run_starts = np.flatnonzero(new_run)
+        run_ends = np.concatenate((run_starts[1:], [n_tok]))
+        emask = is_ent[run_starts] if n_tok else np.empty(0, bool)
+        e_s, e_e = run_starts[emask], run_ends[emask]
+        ent_doc = doc_idx[e_s]
+        ent_type = self._type_names[tok_code[e_s]]
+        ent_start = tok_start[e_s].astype(np.int32)
+        ent_end = tok_end[e_e - 1].astype(np.int32)
+        # sparse per-ENTITY work: raw char slice + single-space token join
+        abs_s, abs_e = tok_start_abs[e_s], tok_end_abs[e_e - 1]
+        ent_text = [big[a:b] for a, b in zip(abs_s.tolist(), abs_e.tolist())]
+        ent_flat = [" ".join(toks[a:b]) for a, b in zip(e_s.tolist(), e_e.tolist())]
+        ent_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(ent_type, pa.string()),
+                pa.array(ent_text, pa.string()),
+                pa.array(ent_start, pa.int32()),
+                pa.array(ent_end, pa.int32()),
+            ],
+            fields=list(ENTITY_TYPE),
+        )
+        ent_per_doc = np.bincount(ent_doc, minlength=n_docs)
+        e_off = np.zeros(n_docs + 1, dtype=np.int32)
+        np.cumsum(ent_per_doc, out=e_off[1:])
+        entities = pa.ListArray.from_arrays(pa.array(e_off), ent_struct)
+        flat = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(e_off),
+                pa.array(
+                    [f"{t}={f}" for t, f in zip(ent_type.tolist(), ent_flat)],
+                    pa.string(),
+                ),
+            ),
+            " | ",
+        )
+        # row merge: input columns + appended predictions (M16 analog)
+        return (
+            batch.select(["doc_id"])
+            .append_column("pred_tags", pred)
+            .append_column("n_entities", pa.array(ent_per_doc, pa.int64()))
+            .append_column("entities_flat", flat)
+            .append_column("entities", entities)
+        )
+
+    def _call_scalar(self, batch: pa.Table) -> pa.Table:
+        """Reference scalar path (pre-round-4 behavior) — used for empty
+        batches, ``vectorize=False``, and as the fuzz-test oracle."""
         pred, n_ent, flat, ents = [], [], [], []
         for text in batch["text"].to_pylist():
             tags, spans, flat_texts = self.tag_one(text)
@@ -160,7 +330,6 @@ class EntityTagger:
                 {"type": s.type, "text": s.text, "start": s.start, "end": s.end}
                 for s in spans
             ])
-        # row merge: input columns + appended predictions (M16 analog)
         return (
             batch.select(["doc_id"])
             .append_column("pred_tags", pa.array(pred, pa.string()))

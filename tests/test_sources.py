@@ -72,6 +72,25 @@ def test_ivf_cosine_pairs_matches_bruteforce():
     assert len(ivf) >= 0.9 * len(exact)
 
 
+def test_ivf_join_fallback_matches_broadcast():
+    """verify_broadcast_max_rows=0 forces the beyond-broadcast partitioned-
+    join scoring path — it must produce the identical pair set and scores
+    as the broadcast path (same candidates, same float32-roundtrip
+    cosines)."""
+    from localhost_address_matching_ray.sources.tables import read_table
+    from localhost_address_matching_ray.stages.ann import ivf_cosine_pairs
+
+    emb = read_table("/root/testdata/sf0.001", "embeddings",
+                     columns=["vec_id", "embedding"])
+    bcast = {(r["u"], r["v"]): r["score"]
+             for r in ivf_cosine_pairs(emb, 0.45, n_cells=16, n_probe=4).take_all()}
+    joined = {(r["u"], r["v"]): r["score"]
+              for r in ivf_cosine_pairs(
+                  emb, 0.45, n_cells=16, n_probe=4, verify_broadcast_max_rows=0
+              ).take_all()}
+    assert joined == bcast and len(bcast) > 0
+
+
 def test_lsh_cosine_pairs_matches_bruteforce():
     from localhost_address_matching_ray.stages.ann import cosine_pairs, lsh_cosine_pairs
 

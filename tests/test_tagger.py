@@ -109,3 +109,81 @@ def test_tag_documents_preserve_order():
     out = tag_documents(docs, batch_size=64, concurrency=(1, 4), preserve_order=True)
     got = [r["doc_id"] for r in out.take_all()]
     assert got == list(range(n))
+
+
+def test_whitespace_lut_matches_re():
+    """The vectorized tokenizer's whitespace LUT must equal Python re's \\s
+    over the whole codepoint range — exhaustive parity check (the tokenizer
+    contract is \\S+ finditer)."""
+    import re
+
+    from localhost_address_matching_ray.stages.tagger import _WS_CODEPOINTS
+
+    ws = {cp for cp in range(0x110000) if re.match(r"\s", chr(cp))}
+    assert ws == set(_WS_CODEPOINTS)
+
+
+def _tagger_frame(texts):
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def test_vectorized_call_equals_scalar_path():
+    """The numpy/Arrow __call__ must byte-match the scalar tag_one path on
+    adversarial inputs: unicode whitespace, multibyte tokens, runs of
+    spaces, empty docs, astral codepoints, every rule type, doc boundaries."""
+    t = EntityTagger()
+    texts = [
+        "order 42 shipped to bob@x.co via https://a.io",
+        "",                                        # empty doc between docs
+        "  leading  and   trailing   ",
+        "MAX_SIZE fooBar 007 AB plain",
+        "tab\tsep nbsp\xa0ls\u2028ideo\u3000end",   # exotic whitespace
+        "h\xe9llo w\xf6rld 42 na\xefve caf\xe9",    # multibyte tokens
+        "emoji \U0001f389(42)\U0001f389 mixed",       # astral codepoints
+        "1 2 3",                                   # multi-token entity
+        "fs\x1csep 9",                             # 0x1c is Python-ws only
+        "x",                                       # 1-char doc
+    ]
+    batch = _tagger_frame(texts)
+    vec = t(batch)
+    ref = t._call_scalar(batch)
+    assert vec.schema == ref.schema
+    for col in ("pred_tags", "n_entities", "entities_flat", "entities"):
+        assert vec[col].to_pylist() == ref[col].to_pylist(), col
+
+
+def test_vectorized_call_fuzz_equals_scalar():
+    import random
+
+    rng = random.Random(7)
+    vocab = ["42", "x1", "https://q.io", "a@b.cd", "FOO_BAR", "camelCase",
+             "plain", "7", "\xc5BC", "\xdf", "\U0001f389", "A_B", "i"]
+    ws = [" ", "  ", "\t", "\n", "\xa0", " "]
+    texts = []
+    for _ in range(60):
+        n = rng.randint(0, 12)
+        parts = []
+        for _ in range(n):
+            parts.append(rng.choice(vocab))
+            parts.append(rng.choice(ws))
+        texts.append("".join(parts))
+    t = EntityTagger()
+    batch = _tagger_frame(texts)
+    vec, ref = t(batch), t._call_scalar(batch)
+    for col in ("pred_tags", "n_entities", "entities_flat", "entities"):
+        assert vec[col].to_pylist() == ref[col].to_pylist(), col
+
+
+def test_non_re2_rule_falls_back_to_python():
+    """A lookbehind rule (RE2-incompatible) must still work — per-unique
+    Python fallback — alongside vectorized rules."""
+    rules = [("NUM", r"^[0-9]+$"), ("POST", r"(?<=_)x$")]
+    t = EntityTagger(rules)
+    assert t._re2_ok == [True, False]
+    batch = _tagger_frame(["a_x 12 ax"])
+    out = t(batch)
+    assert out["pred_tags"].to_pylist() == ["B-POST B-NUM O"]
+    assert out["entities_flat"].to_pylist() == ["POST=a_x | NUM=12"]
