@@ -19,9 +19,9 @@ import ray.data
 from localhost_address_matching_ray.config import PipelineConfig
 from localhost_address_matching_ray.stages.blocking import (
     block_size_census,
+    census_hot_and_multi,
     emit_block_rows,
     find_hot_keys,
-    find_multi_keys,
 )
 from localhost_address_matching_ray.stages.cluster import assign_clusters, connected_components
 from localhost_address_matching_ray.stages.dedup import split_reps_and_edges, tag_exact_groups
@@ -135,10 +135,10 @@ def link_corpus(
 
     if config.singleton_suppression:
         # exact census: doubles as the multi-row-key finder, so singleton
-        # emissions (the vast majority) never enter the blocking shuffle
+        # emissions (the vast majority) never enter the blocking shuffle;
+        # ONE collect serves both consumers (census_hot_and_multi)
         sizes = block_size_census(features, config, sample_div=1).materialize()
-        hot = find_hot_keys(sizes, config)
-        multi = find_multi_keys(sizes)
+        hot, multi = census_hot_and_multi(sizes, config)
         metrics.count("blocking", "multi_keys", len(multi))
     else:
         sizes = block_size_census(features, config)

@@ -162,17 +162,17 @@ def corpus_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
     ds = _normalized_corpus(sf_dir).select_columns(["row_id", "lang", "stem"])
 
     def pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group["row_id"].to_pylist())
+        ids = np.sort(
+            group["row_id"].to_numpy(zero_copy_only=False).astype("U")
+        )
         lang = group["lang"][0].as_py()
         stem = group["stem"][0].as_py()
-        us, vs = [], []
-        for i in range(len(ids) - 1):
-            for j in range(i + 1, len(ids)):
-                us.append(ids[i]); vs.append(ids[j])
+        iu, jv = np.triu_indices(len(ids), 1)
         return pa.table({
-            "u": pa.array(us, pa.string()), "v": pa.array(vs, pa.string()),
-            "lang": pa.array([lang] * len(us), pa.string()),
-            "stem": pa.array([stem] * len(us), pa.string()),
+            "u": pa.array(ids[iu], pa.string()),
+            "v": pa.array(ids[jv], pa.string()),
+            "lang": pa.array(np.full(len(iu), lang), pa.string()),
+            "stem": pa.array(np.full(len(iu), stem), pa.string()),
         })
 
     return ds.groupby(["lang", "stem"]).map_groups(pairs, batch_format="pyarrow")

@@ -121,7 +121,11 @@ def block_size_census(
         })
 
     keys = features.select_columns(["row_id", "block_hashes"]).map_batches(
-        flatten, batch_format="pyarrow", batch_size=config.batch_size
+        # 4× the pipeline batch size: the per-batch np.unique partial
+        # aggregation dedups better over bigger batches, shrinking the
+        # census shuffle (keys repeat heavily on dup-rich corpora) at a
+        # few MB of extra task heap
+        flatten, batch_format="pyarrow", batch_size=config.batch_size * 4
     )
     return keys.groupby("bucket").map_groups(count_bucket, batch_format="pyarrow")
 
@@ -130,6 +134,37 @@ def find_hot_keys(block_sizes: ray.data.Dataset, config: PipelineConfig) -> dict
     """Collect keys above the salting threshold (few by definition)."""
     hot = block_sizes.filter(expr=f"n > {config.max_block_rows}").take_all()
     return {int(r["kh"]): int(r["n"]) for r in hot}
+
+
+def census_hot_and_multi(
+    block_sizes: ray.data.Dataset, config: PipelineConfig
+) -> tuple[dict[int, int], np.ndarray]:
+    """ONE collect serving both census consumers (round-4: find_hot_keys +
+    find_multi_keys were two driver-side dataset executions over the same
+    materialized census — each execution costs serial driver latency):
+    multi = sorted keys with n ≥ 2; hot = the n > max_block_rows subset of
+    the same collected rows (hot ⊆ multi since max_block_rows ≥ 2)."""
+    tbls = [
+        t for t in ray.get(
+            block_sizes.filter(expr="n >= 2").to_arrow_refs()
+        )
+        if t.num_rows > 0 and "kh" in t.column_names
+    ]
+    if not tbls:
+        return {}, np.empty(0, dtype=np.uint64)
+    kh = np.concatenate([
+        t["kh"].to_numpy(zero_copy_only=False).astype(np.uint64) for t in tbls
+    ])
+    ns = np.concatenate([
+        t["n"].to_numpy(zero_copy_only=False) for t in tbls
+    ])
+    order = np.argsort(kh)
+    kh, ns = kh[order], ns[order]
+    hot_mask = ns > config.max_block_rows
+    hot = {
+        int(k): int(n) for k, n in zip(kh[hot_mask], ns[hot_mask])
+    }
+    return hot, kh
 
 
 def find_multi_keys(block_sizes: ray.data.Dataset) -> np.ndarray:

@@ -131,6 +131,76 @@ def _empty_clusters() -> ray.data.Dataset:
     }))
 
 
+def _u64_to_hex16(vals: "np.ndarray") -> "np.ndarray":
+    """uint64 array → numpy S16 of 16-hex zero-padded strings via one
+    hexlify over the big-endian buffer (no per-value format())."""
+    import binascii
+
+    import numpy as np
+
+    return np.frombuffer(
+        binascii.hexlify(vals.astype(">u8").tobytes()), dtype="S16"
+    )
+
+
+def _min_label_components(ui: "np.ndarray", vi: "np.ndarray", n_ids: int) -> "np.ndarray":
+    """Vectorized min-label propagation with pointer jumping over index
+    arrays — converges in O(log diameter) numpy passes. Returns lab[i] =
+    index of the minimum id in i's component (ids sorted ⇒ min index IS the
+    min id)."""
+    import numpy as np
+
+    lab = np.arange(n_ids)
+    while True:
+        m = np.minimum(lab[ui], lab[vi])
+        nl = lab.copy()
+        np.minimum.at(nl, ui, m)
+        np.minimum.at(nl, vi, m)
+        while True:  # pointer jumping to the current root
+            nn = nl[nl]
+            if np.array_equal(nn, nl):
+                break
+            nl = nn
+        if np.array_equal(nl, lab):
+            break
+        lab = nl
+    return lab
+
+
+def _contract_edge_blocks(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """PARALLEL pre-contraction: each edge block is replaced by the star
+    forest (node → block-local min-label) of its own connectivity — any
+    subset of edges can be swapped for a spanning structure without
+    changing global components, so this is exact. Shrinks a block of E
+    edges to ≤ distinct-nodes−1, moving that work off the driver's serial
+    union-find (round-3 profile: CC was a 2.2×/4 scaling term) and onto
+    the worker pool. Hex fast path only; non-hex blocks pass through
+    unchanged (the driver fallback handles them)."""
+    import numpy as np
+
+    def contract(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return t.select(["u", "v"])
+        uk = _hex16_col_to_u64(t["u"])
+        vk = _hex16_col_to_u64(t["v"]) if uk is not None else None
+        if uk is None or vk is None:
+            return t.select(["u", "v"])
+        n = len(uk)
+        all_ids, inv = np.unique(np.concatenate([uk, vk]), return_inverse=True)
+        lab = _min_label_components(inv[:n], inv[n:], len(all_ids))
+        keep = lab != np.arange(len(all_ids))
+        hexs = _u64_to_hex16(all_ids)
+        return pa.table({
+            "u": pa.array(np.char.decode(hexs[lab[keep]], "ascii"), pa.string()),
+            "v": pa.array(np.char.decode(hexs[keep], "ascii"), pa.string()),
+        })
+
+    # whole-block batches: contraction quality grows with batch size
+    return edges.select_columns(["u", "v"]).map_batches(
+        contract, batch_format="pyarrow", batch_size=None
+    )
+
+
 def _driver_union_find(edges: ray.data.Dataset) -> ray.data.Dataset:
     """Connected components on the collected (narrow) edge list.
 
@@ -150,25 +220,13 @@ def _driver_union_find(edges: ray.data.Dataset) -> ray.data.Dataset:
     if uk is not None and vk is not None:
         n = len(uk)
         all_ids, inv = np.unique(np.concatenate([uk, vk]), return_inverse=True)
-        ui, vi = inv[:n], inv[n:]
-        lab = np.arange(len(all_ids))
-        while True:
-            m = np.minimum(lab[ui], lab[vi])
-            nl = lab.copy()
-            np.minimum.at(nl, ui, m)
-            np.minimum.at(nl, vi, m)
-            while True:  # pointer jumping to the current root
-                nn = nl[nl]
-                if np.array_equal(nn, nl):
-                    break
-                nl = nn
-            if np.array_equal(nl, lab):
-                break
-            lab = nl
-        id_hex = [format(int(x), "016x") for x in all_ids]
+        lab = _min_label_components(inv[:n], inv[n:], len(all_ids))
+        hexs = _u64_to_hex16(all_ids)  # one hexlify, no per-node format()
         return ray.data.from_arrow(pa.table({
-            "row_id": pa.array(id_hex, pa.string()),
-            "cluster_label": pa.array([id_hex[i] for i in lab], pa.string()),
+            "row_id": pa.array(np.char.decode(hexs, "ascii"), pa.string()),
+            "cluster_label": pa.array(
+                np.char.decode(hexs[lab], "ascii"), pa.string()
+            ),
         }))
     u = tbl["u"].to_pylist()
     v = tbl["v"].to_pylist()
@@ -297,6 +355,20 @@ def connected_components(
     n_edges = edges.count()
     if n_edges == 0:
         return _empty_clusters()
+    if n_edges >= 200_000:
+        # parallel pre-contraction: per-block star forests shrink the edge
+        # stream (exactly — connectivity preserved) before any serial or
+        # iterated work; below the threshold the extra pass costs more than
+        # the driver saves
+        contracted = _contract_edge_blocks(edges).materialize()
+        n_after = contracted.count()
+        logger.info(
+            "connected_components: pre-contraction %d → %d edges",
+            n_edges, n_after,
+        )
+        edges, n_edges = contracted, n_after
+        if n_edges == 0:
+            return _empty_clusters()
     if n_edges <= driver_max_edges:
         return _driver_union_find(edges)
     return _distributed_label_prop(edges, max_iters, num_partitions)
