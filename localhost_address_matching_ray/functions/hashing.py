@@ -321,9 +321,13 @@ def hamming64_arrays(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def rolling_fingerprint(text: str, base: int = 1000003, mod: int = (1 << 61) - 1) -> int:
-    """Polynomial rolling hash of the whole string (document fingerprint).
-    Deterministic; not SQL-expressible → its query is rows-only checked."""
+    """Polynomial rolling hash of the whole string (document fingerprint),
+    folded over Unicode CODE POINTS (not utf-8 bytes): Horner's rule
+    h = (h*base + ord(ch)) % (2^61-1). The code-point definition keeps the
+    value independent of the storage encoding and makes it exactly
+    SQL-expressible (DuckDB ``list_reduce`` over ``unicode()`` with HUGEINT
+    intermediates), so the query surface carries a real oracle."""
     h = 0
-    for ch in text.encode("utf-8"):
-        h = (h * base + ch) % mod
+    for ch in text:
+        h = (h * base + ord(ch)) % mod
     return h

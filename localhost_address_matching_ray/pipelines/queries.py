@@ -402,8 +402,18 @@ def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
     return doc_fingerprints(docs).select_columns(["doc_id", "fingerprint"])
 
 
-@register("doc_rolling_fingerprint", None,
-          "rolling polynomial hash fingerprint (not SQL-expressible → rows-only)")
+@register(
+    "doc_rolling_fingerprint",
+    f"""
+SELECT doc_id,
+  CASE WHEN length({_DOCNORM}) = 0 THEN 0 ELSE
+    list_reduce(
+      list_transform(string_split({_DOCNORM}, ''), c -> unicode(c)::HUGEINT),
+      (h, ch) -> (h * 1000003 + ch) % 2305843009213693951
+    )::BIGINT END AS rolling_fp
+FROM documents""",
+    "rolling polynomial (Horner) hash over code points, mod 2^61-1",
+)
 def doc_rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
     from localhost_address_matching_ray.stages.docs_ops import doc_fingerprints
 

@@ -63,8 +63,10 @@ def doc_fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
         return pa.table({
             "doc_id": batch["doc_id"],
             "fingerprint": pa.array(sha256_hex_array(norm), pa.string()),
+            # int64, not uint64: values are < 2^61 by construction and the
+            # DuckDB oracle's BIGINT column must hash-compare byte-identically
             "rolling_fp": pa.array(
-                [rolling_fingerprint(n) for n in norm], pa.uint64()
+                [rolling_fingerprint(n) for n in norm], pa.int64()
             ),
         })
 

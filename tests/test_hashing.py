@@ -94,14 +94,16 @@ def test_rolling_fingerprint_deterministic():
 
 def test_rolling_fingerprint_golden_vectors():
     """Hard-coded expected values (computed independently via the modular
-    power-sum form sum(b_i * base^(n-1-i)) mod p) pin the polynomial's base,
-    modulus, byte order and utf-8 encoding: a sign/width/order bug changes
-    every one of these."""
+    power-sum form sum(cp_i * base^(n-1-i)) mod p) pin the polynomial's base,
+    modulus, character order and code-point (not byte) folding: a
+    sign/width/order bug changes every one of these."""
     assert rolling_fingerprint("") == 0
-    assert rolling_fingerprint("a") == 97          # single byte: h = ord('a')
+    assert rolling_fingerprint("a") == 97          # single char: h = ord('a')
     assert rolling_fingerprint("ab") == 97000389   # 97*1000003 + 98
     assert rolling_fingerprint("hello world") == 2083453854010787712
-    assert rolling_fingerprint("héllo") == 1026061838219594018  # utf-8 multibyte
+    # non-ASCII: one code point (233), NOT two utf-8 bytes — pins the
+    # code-point definition that the DuckDB oracle (unicode()) shares
+    assert rolling_fingerprint("héllo") == 1522215615417397270
     assert rolling_fingerprint("x" * 100) == 2223964726378295274  # > window/word widths
 
 
@@ -111,9 +113,9 @@ def test_rolling_fingerprint_matches_independent_form():
     base, mod = 1000003, (1 << 61) - 1
 
     def indep(text: str) -> int:
-        bs = text.encode("utf-8")
-        n = len(bs)
-        return sum(b * pow(base, n - 1 - i, mod) for i, b in enumerate(bs)) % mod
+        n = len(text)
+        return sum(ord(c) * pow(base, n - 1 - i, mod)
+                   for i, c in enumerate(text)) % mod
 
     for s in ["", "a", "polynomial", "héllo wörld", "x" * 257, "\n\t mixed 123"]:
         assert rolling_fingerprint(s) == indep(s)

@@ -18,6 +18,7 @@ SPOT_QUERIES = [
     "corpus_parse_paths",
     "doc_stats",
     "doc_langid",
+    "doc_rolling_fingerprint",
     "q1_pricing_summary",
     "events_user_sessions",
     "events_sliding_windows",
