@@ -40,8 +40,13 @@ def row_id_array(repos, paths, commits) -> list[str]:
 
 
 def _token_hash64(token: str) -> int:
-    """Stable 64-bit token hash (first 8 bytes of sha1)."""
-    return int.from_bytes(hashlib.sha1(token.encode("utf-8")).digest()[:8], "big")
+    """Stable 64-bit token hash (first 8 bytes of sha256, big-endian).
+
+    sha256 (not sha1) so the value is exactly SQL-expressible — DuckDB ships
+    ``sha256`` but no ``sha1`` — which lets every hash-derived surface
+    (SimHash fingerprints in particular) carry a real oracle:
+    ``CAST(concat('0x', substr(sha256(tok), 1, 16)) AS UBIGINT)``."""
+    return int.from_bytes(hashlib.sha256(token.encode("utf-8")).digest()[:8], "big")
 
 
 class TokenHasher:

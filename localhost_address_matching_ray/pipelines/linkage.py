@@ -65,7 +65,10 @@ def link_corpus(
     # (OPH and classic values are not comparable); the EFFECTIVE mode —
     # OPH falls back to classic for non-power-of-two num_perm — keeps the
     # version string and the kernel choice in lockstep
-    fver = f"{ver}+mh-{config.effective_minhash_mode}"
+    # th256: the token-hash family (sha256-prefix since round 4, was sha1)
+    # — a different family yields incomparable signatures, so it must
+    # invalidate feature-derived checkpoints just like a minhash-mode flip
+    fver = f"{ver}+mh-{config.effective_minhash_mode}+th256"
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     nblocks = max(8, cpus * 2)

@@ -515,8 +515,40 @@ def doc_near_dedup_keep(sf_dir: str) -> ray.data.Dataset:
     return near_dedup_keep(docs, threshold=0.5)
 
 
-@register("doc_simhash_pairs", None,
-          "SimHash Hamming-distance near-dup pairs (rows-only check)")
+# Exact SQL replica of the SimHash kernel (functions/hashing.py SimHasher):
+# per-token 64-bit hash = first 8 sha256 bytes big-endian (the kernel's
+# _token_hash64, chosen sha256 precisely so this oracle exists), per-bit
+# ±1 votes over the token MULTISET (duplicates counted; ''.split(' ') ==
+# [''] matches string_split('', ' ')), bit set iff vote strictly positive.
+# Pairs are same-lang only (the Ray path blocks per lang) at Hamming ≤ 6 —
+# brute-force self-join is exact at sf-test scale, where no pigeonhole run
+# exceeds max_block_rows (truncation would log a warning).
+_SIMHASH_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split({_DOCNORM}, ' ')) AS tok
+  FROM documents),
+th AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(sha256(tok), 1, 16)) AS UBIGINT) AS h
+  FROM toks),
+bits AS (
+  SELECT doc_id, lang, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) g
+  GROUP BY doc_id, lang, b),
+sh AS (
+  SELECT doc_id, lang,
+         CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS UBIGINT) << b)
+                       ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS fp
+  FROM bits GROUP BY doc_id, lang)
+SELECT a.doc_id AS u, b.doc_id AS v,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 6"""
+
+
+@register("doc_simhash_pairs", _SIMHASH_PAIRS_SQL,
+          "SimHash Hamming-distance near-dup pairs (exact brute-force oracle)")
 def doc_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
     from localhost_address_matching_ray.stages.docs_ops import simhash_pairs
 

@@ -850,9 +850,10 @@ def simhash_pairs(
             for b in range(n_blocks):
                 lo, hi = edges[b], edges[b + 1]
                 bits = (hs >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1)
-                key = (lang_h ^ (np.uint64(b + 1) * _SH_MIX2)) * _SH_MIX1 ^ (
-                    bits * _SH_MIX2
-                )
+                # block-index salt folded in Python-int space: numpy warns
+                # on intentional uint64 SCALAR wraparound (array ops don't)
+                salt = np.uint64(((b + 1) * int(_SH_MIX2)) & 0xFFFFFFFFFFFFFFFF)
+                key = (lang_h ^ salt) * _SH_MIX1 ^ (bits * _SH_MIX2)
                 key = key ^ (key >> np.uint64(29))
                 out_id.append(ids)
                 out_key.append(key)

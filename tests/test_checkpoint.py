@@ -90,11 +90,11 @@ def test_minhash_mode_flip_invalidates_feature_checkpoints(tmp_path, small_fixtu
                      input_fingerprint="f1")
     c1 = sorted((r["row_id"], r["cluster_id"]) for r in r1["clusters"].take_all())
     man = json.load(open(tmp_path / "ck" / "features" / "_manifest.json"))
-    assert man["pipeline_version"].endswith("+mh-oph")
+    assert "+mh-oph" in man["pipeline_version"]
 
     r2 = link_corpus(corpus, PipelineConfig(minhash_mode="classic", **base),
                      input_fingerprint="f1")
     c2 = sorted((r["row_id"], r["cluster_id"]) for r in r2["clusters"].take_all())
     man = json.load(open(tmp_path / "ck" / "features" / "_manifest.json"))
-    assert man["pipeline_version"].endswith("+mh-classic")  # recomputed
+    assert "+mh-classic" in man["pipeline_version"]  # recomputed
     assert c1 == c2  # same clustering from either family on the fixture
