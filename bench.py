@@ -93,8 +93,12 @@ def run_linkage() -> dict:
     # warm OS page cache (untimed)
     n_rows = sum(pq.read_table(f).num_rows for f in files)
     cfg = PipelineConfig(feature_concurrency=max(2, NUM_CPUS - 2))
+    # split the read into ≥4 blocks per feature actor: finer blocks cost a
+    # read-task each (no shuffle — parquet row groups are the split points)
+    # and remove the last-wave actor-idle tail in every downstream stage
+    onb = max(32, 4 * cfg.feature_concurrency)
     t0 = time.time()
-    corpus = ray.data.read_parquet(corpus_dir)
+    corpus = ray.data.read_parquet(corpus_dir, override_num_blocks=onb)
     res = link_corpus(corpus, cfg)
     n_out = res["clusters"].count()
     sec = time.time() - t0

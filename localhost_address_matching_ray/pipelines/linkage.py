@@ -33,8 +33,18 @@ from localhost_address_matching_ray.state.metrics import StageMetrics
 
 def _source_blocks(ds: ray.data.Dataset) -> int | None:
     """Best-effort block count of a possibly-lazy source WITHOUT executing
-    it: parquet/CSV reads report their file list; materialized datasets
-    report blocks; otherwise unknown (treated as already-fine)."""
+    it: reads honor an explicit ``override_num_blocks`` (the logical Read
+    op's requested parallelism — file count would under-report a read the
+    caller already split finer than its file list), else report their file
+    list; materialized datasets report blocks; otherwise unknown (treated
+    as already-fine)."""
+    try:
+        dag = ds._logical_plan.dag
+        n = getattr(dag, "_parallelism", None)
+        if isinstance(n, int) and n > 0:
+            return n
+    except Exception:
+        pass
     try:
         files = ds.input_files()
         if files:
@@ -59,6 +69,7 @@ def link_corpus(
 
     config = config or PipelineConfig()
     metrics = metrics or StageMetrics()
+    metrics.phase("start")  # arm the per-barrier wall clock
     ckpt = config.checkpoint_dir
     ver = config.pipeline_version
     # signature-family flips invalidate every feature-derived checkpoint
@@ -71,7 +82,12 @@ def link_corpus(
     fver = f"{ver}+mh-{config.effective_minhash_mode}+th256"
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    nblocks = max(8, cpus * 2)
+    # parallelism floor: ≥2 blocks per CPU AND ≥4 blocks per feature actor.
+    # The second term kills the last-wave straggler tail: with blocks ≈
+    # actor count × 2.3 (e.g. 32 blocks on 14 actors) the final wave leaves
+    # most actors idle — measured 24% of the feature stage's wall at 16
+    # CPUs on the 1M bench. Four even waves bound that tail at ~6%.
+    nblocks = max(8, cpus * 2, 4 * config.feature_concurrency)
 
     normalized = load_or_compute(
         ckpt, input_fingerprint, "normalized", ver,
@@ -125,6 +141,7 @@ def link_corpus(
         # blocking reads features twice (census + payload): pin the
         # (content-free, rep-only) feature table instead of recomputing it.
         features = features.materialize()
+    metrics.phase("features")
     if rows_view is None:
         # fused fast path: the feature table doubles as the row view, minus
         # the feature payload columns — list/binary columns must not reach
@@ -149,6 +166,7 @@ def link_corpus(
         multi = None
     metrics.count("blocking", "hot_keys", len(hot))
     metrics.count("blocking", "hot_rows", sum(hot.values()))
+    metrics.phase("census")
 
     blocks = emit_block_rows(features, config, hot, multi)
 
@@ -163,9 +181,11 @@ def link_corpus(
         # edges are read by CC iterations and metrics — pin the (small) table
         near_edges = near_edges.materialize()
 
+    metrics.phase("edges")
     components = connected_components(
         near_edges, driver_max_edges=config.driver_cc_max_edges
     )
+    metrics.phase("cc")
     clusters = load_or_compute(
         ckpt, input_fingerprint, "clusters", fver,
         lambda: assign_clusters(
@@ -176,12 +196,20 @@ def link_corpus(
         # the result is consumed more than once (count, eval, writes) — pin
         # it so the assign joins run exactly once
         clusters = clusters.materialize()
-    # per-stage lineage metrics (north_rule: row counts + score histograms)
-    metrics.count("normalize", "rows", rows_view.count())
-    metrics.count("features", "rows", features.count())
+    metrics.phase("assign")
+    # per-stage lineage metrics (north_rule: row counts + score histograms).
+    # rows_view is a pure projection of features (same row count) — counting
+    # the materialized table is a metadata lookup, not a projection job
+    # (in the fused path rows_view projects features; in the collapse path
+    # rows_view is the materialized tagged table — metadata either way)
+    n_features = features.count()
+    metrics.count("normalize", "rows",
+                  rows_view.count() if config.collapse_exact_first else n_features)
+    metrics.count("features", "rows", n_features)
     metrics.count("edges", "rows", near_edges.count())
     metrics.count("clusters", "rows", clusters.count())
     metrics.dataset_hist("edges", "score", near_edges, "score")
+    metrics.phase("metrics")
     if ckpt is not None:
         metrics.write(ckpt)
 

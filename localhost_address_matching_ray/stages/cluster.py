@@ -86,8 +86,12 @@ def _hex16_col_to_u64(col: pa.ChunkedArray) -> "np.ndarray | None":
         return None
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[start : start + 16 * n]
     try:
-        buf = bytes.fromhex(data.tobytes().decode("ascii"))
-    except (ValueError, UnicodeDecodeError):
+        # a2b_hex accepts bytes directly — no intermediate Python str (the
+        # decode+fromhex round trip measured ~3× this path at 4.8M ids)
+        import binascii
+
+        buf = binascii.a2b_hex(data.tobytes())
+    except (ValueError, binascii.Error):
         return None
     return np.frombuffer(buf, dtype=">u8").astype(np.uint64)
 
@@ -141,6 +145,25 @@ def _u64_to_hex16(vals: "np.ndarray") -> "np.ndarray":
     return np.frombuffer(
         binascii.hexlify(vals.astype(">u8").tobytes()), dtype="S16"
     )
+
+
+def _sbytes_to_arrow(vals: "np.ndarray", width: int) -> pa.Array:
+    """numpy S{width} array → Arrow string array by handing Arrow the raw
+    ASCII value buffer + an arange offsets buffer — no per-value decode (the
+    np.char.decode + pa.array(U…) route measured ~1 s at 1.6M values)."""
+    import numpy as np
+
+    n = len(vals)
+    return pa.Array.from_buffers(
+        pa.string(), n,
+        [None,
+         pa.py_buffer(np.arange(0, width * (n + 1), width, dtype=np.int32)),
+         pa.py_buffer(np.ascontiguousarray(vals).tobytes())],
+    )
+
+
+def _s16_to_arrow(hexs: "np.ndarray") -> pa.Array:
+    return _sbytes_to_arrow(hexs, 16)
 
 
 def _min_label_components(ui: "np.ndarray", vi: "np.ndarray", n_ids: int) -> "np.ndarray":
@@ -218,15 +241,23 @@ def _driver_union_find(edges: ray.data.Dataset) -> ray.data.Dataset:
     uk = _hex16_col_to_u64(tbl["u"])
     vk = _hex16_col_to_u64(tbl["v"]) if uk is not None else None
     if uk is not None and vk is not None:
+        import pandas as pd
+
         n = len(uk)
-        all_ids, inv = np.unique(np.concatenate([uk, vk]), return_inverse=True)
+        # hash-based factorize beats np.unique's full argsort ~3× at
+        # millions of edges; sort the (small) unique set afterwards and
+        # remap codes so sorted-index order == id order still holds
+        codes, uniq = pd.factorize(np.concatenate([uk, vk]), sort=False)
+        order = np.argsort(uniq, kind="stable")
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order))
+        all_ids = uniq[order]
+        inv = rank[codes]
         lab = _min_label_components(inv[:n], inv[n:], len(all_ids))
         hexs = _u64_to_hex16(all_ids)  # one hexlify, no per-node format()
         return ray.data.from_arrow(pa.table({
-            "row_id": pa.array(np.char.decode(hexs, "ascii"), pa.string()),
-            "cluster_label": pa.array(
-                np.char.decode(hexs[lab], "ascii"), pa.string()
-            ),
+            "row_id": _s16_to_arrow(hexs),
+            "cluster_label": _s16_to_arrow(np.ascontiguousarray(hexs[lab])),
         }))
     u = tbl["u"].to_pylist()
     v = tbl["v"].to_pylist()
@@ -355,11 +386,13 @@ def connected_components(
     n_edges = edges.count()
     if n_edges == 0:
         return _empty_clusters()
-    if n_edges >= 200_000:
+    if n_edges > driver_max_edges:
         # parallel pre-contraction: per-block star forests shrink the edge
-        # stream (exactly — connectivity preserved) before any serial or
-        # iterated work; below the threshold the extra pass costs more than
-        # the driver saves
+        # stream (exactly — connectivity preserved) before the iterated
+        # label-propagation work. NOT worth it ahead of the driver path:
+        # the vectorized union-find clears ~3M edges/s, so the extra
+        # distributed pass + count costs more wall than it saves there
+        # (measured 0.8 s pass vs ~0.5 s saved at 3.3M edges).
         contracted = _contract_edge_blocks(edges).materialize()
         n_after = contracted.count()
         logger.info(
@@ -432,9 +465,21 @@ def _assign_broadcast_u64(
     shas = _fixed_width_bytes(members["content_sha256"], 64)
     if mids is None or shas is None or len(mids) == 0:
         return None
-    # canonical sha per label = min member sha: one lexsort, first per run
+    # canonical sha per label = min member sha: one lexsort, first per run.
+    # Lexsorting S64 byte strings directly costs ~10× the integer path
+    # (measured 4.4 s at 820k members) — decode the hex shas to 4 big-endian
+    # uint64 words and lexsort integers instead (min over the 4-word tuple
+    # == min over the 256-bit value == min over the lowercase-hex string)
     mlab = lab_s[np.minimum(np.searchsorted(mk_s, mids), len(mk_s) - 1)]
-    o = np.lexsort((shas, mlab))
+    try:
+        import binascii
+
+        w = np.frombuffer(
+            binascii.a2b_hex(np.ascontiguousarray(shas).tobytes()), dtype=">u8"
+        ).reshape(-1, 4)
+        o = np.lexsort((w[:, 3], w[:, 2], w[:, 1], w[:, 0], mlab))
+    except (ValueError, binascii.Error):  # non-hex shas: byte-string lexsort
+        o = np.lexsort((shas, mlab))
     mlab_s, shas_s = mlab[o], shas[o]
     first = np.concatenate(([True], mlab_s[1:] != mlab_s[:-1]))
     canon_lab, canon_sha = mlab_s[first], shas_s[first]
@@ -451,11 +496,20 @@ def _assign_broadcast_u64(
             raise ValueError("mixed non-hex row_ids in a hex-id pipeline")
         pos = np.minimum(np.searchsorted(keys, qk), len(keys) - 1)
         hit = keys[pos] == qk
-        out = np.asarray(t["content_sha256"].to_numpy(zero_copy_only=False), dtype="S64")
-        out[hit] = vals[pos[hit]]
+        fixed = _fixed_width_bytes(t["content_sha256"], 64)
+        if fixed is not None:  # zero-copy in, buffer-built Arrow out
+            out = fixed.copy()
+            out[hit] = vals[pos[hit]]
+            cluster_id = _sbytes_to_arrow(out, 64)
+        else:
+            out = np.asarray(
+                t["content_sha256"].to_numpy(zero_copy_only=False), dtype="S64"
+            )
+            out[hit] = vals[pos[hit]]
+            cluster_id = pa.array(np.char.decode(out, "ascii"), pa.string())
         return pa.table({
             "row_id": t["row_id"],
-            "cluster_id": pa.array(np.char.decode(out, "ascii"), pa.string()),
+            "cluster_id": cluster_id,
         })
 
     return slim.map_batches(resolve, batch_format="pyarrow")

@@ -52,9 +52,32 @@ class StageMetrics:
 
     def __init__(self) -> None:
         self._rows: list[dict] = []
+        self._phase_t0: float | None = None
 
     def count(self, stage: str, name: str, value: float) -> None:
         self._rows.append({"stage": stage, "metric": name, "value": float(value)})
+
+    def phase(self, name: str) -> None:
+        """Record wall seconds since the previous :meth:`phase` call (or
+        construction) as a ``wall``-stage metric. Called at each driver
+        barrier of a pipeline, this yields a per-phase wall profile of a
+        REAL run — the measurement behind the scaling-efficiency work in
+        BASELINE.md (serial driver phases are what cap N→4N speedup)."""
+        import time
+
+        now = time.time()
+        if self._phase_t0 is not None:
+            self._rows.append({
+                "stage": "wall", "metric": name,
+                "value": round(now - self._phase_t0, 3),
+            })
+        self._phase_t0 = now
+
+    def phases(self) -> dict[str, float]:
+        """{phase name: wall seconds} recorded so far."""
+        return {
+            r["metric"]: r["value"] for r in self._rows if r["stage"] == "wall"
+        }
 
     def histogram(self, stage: str, name: str, values: np.ndarray, bins: int = 20) -> None:
         if len(values) == 0:

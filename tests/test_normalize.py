@@ -136,3 +136,42 @@ def test_batch_tokens_matches_doc_tokens():
     got = fx._batch_tokens(pa.array(contents, pa.string()), langs)
     want = [fx._doc_tokens(c, lg) for c, lg in zip(contents, langs)]
     assert got == want
+
+
+def test_batch_token_hashes_matches_doc_tokens():
+    """The Arrow-native hash path == hash_tokens(_doc_tokens(...)) per row,
+    on BOTH branches: the extra_rules fallback and the fast path (empty
+    rows, stop tokens, comments, non-ASCII)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from localhost_address_matching_ray.config import LangConfig, PipelineConfig
+    from localhost_address_matching_ray.stages.feature_stage import FeatureExtractor
+
+    contents = [
+        "def f():  # comment\n    return v12",
+        "int a; // tail v3\n/* block */ int b;",
+        "plain text v9 end",
+        "",
+        "x\xa0y v1",
+        "# only a comment",
+        "stopword alpha stopword beta",
+    ]
+    langs = ["python", "c", "zz", "python", "javascript", "python", "zz"]
+    for cfg in (
+        PipelineConfig(),
+        PipelineConfig(extra_rules=((r"v\d+", "vN"),)),
+        PipelineConfig(lang_configs={
+            **PipelineConfig().lang_configs,
+            "zz": LangConfig(lang="zz", stop_tokens=("stopword",)),
+        }),
+    ):
+        fx = FeatureExtractor(cfg)
+        got = fx._batch_token_hashes(pa.array(contents, pa.string()), langs)
+        want = [
+            fx.token_hasher.hash_tokens(fx._doc_tokens(c, lg))
+            for c, lg in zip(contents, langs)
+        ]
+        for g, w in zip(got, want):
+            assert g.dtype == np.uint64
+            assert np.array_equal(g, w)
