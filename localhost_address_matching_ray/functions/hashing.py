@@ -39,6 +39,41 @@ def row_id_array(repos, paths, commits) -> list[str]:
     ]
 
 
+def sha256_hex_arrow(arr) -> list[str]:
+    """sha256 hex per value of an Arrow string array, hashing the utf-8
+    straight out of the value buffer via memoryview slices — no per-row
+    Python string decode/copy (Arrow already stores utf-8, so the bytes are
+    identical to ``value.encode('utf-8')``). Values with nulls fall back to
+    the list path. Hex output matches :func:`sha256_hex_array` exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return []
+    # int32-offset utf8 only: large_string (int64 offsets) or nulls fall
+    # back to the (correct, slower) list path
+    if arr.null_count or not pa.types.is_string(arr.type):
+        return sha256_hex_array(arr.to_pylist())
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    mv = memoryview(arr.buffers()[2])
+    o = offs[arr.offset : arr.offset + n + 1]
+    h = hashlib.sha256
+    return [h(mv[s:e]).hexdigest() for s, e in zip(o[:-1].tolist(), o[1:].tolist())]
+
+
+def row_id_arrow(repos, paths, commits) -> list[str]:
+    """:func:`row_id_array` over Arrow string columns: the 'repo|path|commit'
+    join runs in Arrow C (``binary_join_element_wise``), the sha over buffer
+    slices — no per-row Python string assembly."""
+    import pyarrow.compute as pc
+
+    joined = pc.binary_join_element_wise(repos, paths, commits, "|")
+    return [d[:16] for d in sha256_hex_arrow(joined)]
+
+
 def _token_hash64(token: str) -> int:
     """Stable 64-bit token hash (first 8 bytes of sha256, big-endian).
 

@@ -22,7 +22,11 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data
 
-from localhost_address_matching_ray.functions.hashing import row_id_array, sha256_hex_array
+from localhost_address_matching_ray.functions.hashing import (
+    row_id_arrow,
+    sha256_hex_array,
+    sha256_hex_arrow,
+)
 from localhost_address_matching_ray.functions.normalize import (
     canonicalize_path_array,
     normalize_content_arrow,
@@ -59,31 +63,37 @@ def _apply_extra_rules(norm: list[str], extra_rules) -> list[str]:
 def _normalize_batch(batch: pa.Table, extra_rules=()) -> pa.Table:
     import pyarrow.compute as pc
 
-    repos = batch["repo"].to_pylist()
     paths = batch["path"].to_pylist()
-    commits = batch["commit"].to_pylist()
-    contents = batch["content"].to_pylist()
 
     canon = canonicalize_path_array(paths)
     # content normalize runs in RE2/C for ASCII rows (bit-identical — see
-    # normalize_content_arrow); the python list is still needed for sha256
+    # normalize_content_arrow); both sha256 columns hash utf-8 straight out
+    # of Arrow value buffers (sha256_hex_arrow) — the content column never
+    # materializes as Python strings unless user extra_rules force it
     norm_arr = normalize_content_arrow(batch["content"])
-    norm = _apply_extra_rules(norm_arr.to_pylist(), extra_rules)
     if extra_rules:
+        norm = _apply_extra_rules(norm_arr.to_pylist(), extra_rules)
         n_tokens = pa.array([len(x.split(" ")) if x else 0 for x in norm], pa.int64())
+        sha_norm = sha256_hex_array(norm)
     else:
         n_tokens = pc.if_else(
             pc.equal(norm_arr, ""),
             pa.scalar(0, pa.int64()),
             pc.cast(pc.add(pc.count_substring(norm_arr, pattern=" "), 1), pa.int64()),
         )
+        sha_norm = sha256_hex_arrow(norm_arr)
     return (
         batch
-        .append_column("row_id", pa.array(row_id_array(repos, paths, commits), pa.string()))
+        .append_column("row_id", pa.array(
+            row_id_arrow(batch["repo"], batch["path"], batch["commit"]),
+            pa.string(),
+        ))
         .append_column("path_canonical", pa.array(canon, pa.string()))
         .append_column("stem", pa.array(path_stem_array(canon), pa.string()))
-        .append_column("content_sha256", pa.array(sha256_hex_array(contents), pa.string()))
-        .append_column("content_sha256_norm", pa.array(sha256_hex_array(norm), pa.string()))
+        .append_column("content_sha256", pa.array(
+            sha256_hex_arrow(batch["content"]), pa.string()
+        ))
+        .append_column("content_sha256_norm", pa.array(sha_norm, pa.string()))
         .append_column("n_tokens", n_tokens)
     )
 
