@@ -140,3 +140,42 @@ def test_blocking_census_and_salting():
     # deterministic: same inputs → same emission
     rows2 = emit_block_rows(feats, cfg, hot).take_all()
     assert Counter(r["block_key"] for r in rows2) == keys
+
+
+def test_sbytes_to_arrow_and_hex_roundtrip():
+    """Buffer-built Arrow string arrays equal the per-value decode path,
+    including sliced/odd lengths; a2b_hex id decode round-trips."""
+    import numpy as np
+    import pyarrow as pa
+
+    from localhost_address_matching_ray.stages.cluster import (
+        _hex16_col_to_u64,
+        _s16_to_arrow,
+        _sbytes_to_arrow,
+        _u64_to_hex16,
+    )
+
+    vals = np.array([0, 1, 0xDEADBEEF, 2**64 - 1, 123456789], dtype=np.uint64)
+    hexs = _u64_to_hex16(vals)
+    arr = _s16_to_arrow(hexs)
+    assert arr.to_pylist() == [f"{v:016x}" for v in vals.tolist()]
+    back = _hex16_col_to_u64(pa.chunked_array([arr]))
+    assert np.array_equal(back, vals)
+    # width-64 variant (sha-sized)
+    s64 = np.array([b"a" * 64, b"f" * 64], dtype="S64")
+    assert _sbytes_to_arrow(s64, 64).to_pylist() == ["a" * 64, "f" * 64]
+    # non-hex must return None, not garbage
+    bad = pa.chunked_array([pa.array(["zz" * 8, "00" * 8])])
+    assert _hex16_col_to_u64(bad) is None
+
+
+def test_metrics_phase_wall():
+    from localhost_address_matching_ray.state.metrics import StageMetrics
+
+    m = StageMetrics()
+    m.phase("start")
+    m.phase("a")
+    m.phase("b")
+    p = m.phases()
+    assert set(p) == {"a", "b"}
+    assert all(v >= 0 for v in p.values())
