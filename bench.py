@@ -234,6 +234,16 @@ def scaling() -> None:
     # best-of bias again); report efficiencies in RUN order so box-weather
     # drift stays diagnosable from the JSON
     med = sorted(rounds, key=lambda r: r["eff"])[(len(rounds) - 1) // 2]
+    # Secondary, noise-floor estimate: co-tenant interference is strictly
+    # additive (it can only slow a leg down), so the MIN over each leg
+    # population is the least-contended observation of that leg — the
+    # standard timeit rationale. Pairing min(lo) with min(hi) estimates the
+    # calm-box efficiency. It is reported ALONGSIDE the per-round median
+    # (which stays the primary, pairing-honest number), never instead of it:
+    # the best-of bias warned about above applies to presenting a lucky
+    # PAIRED round as representative, not to bracketing the noise floor.
+    min_lo = min(r["r_lo"]["value"] for r in rounds)
+    min_hi = min(r["r_hi"]["value"] for r in rounds)
     print(json.dumps({
         "metric": "scaling_efficiency",
         "cpus_lo": lo, "cpus_hi": hi,
@@ -244,6 +254,8 @@ def scaling() -> None:
         "round_efficiencies": [round(r["eff"], 3) for r in rounds],
         "round_loadavg": [r["loadavg"] for r in rounds],
         "round_order": [r["order"] for r in rounds],
+        "min_sec_lo": min_lo, "min_sec_hi": min_hi,
+        "min_pairing_efficiency": round(min_lo / ((hi / lo) * min_hi), 3),
     }))
 
 
