@@ -44,11 +44,14 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 import ray.data
 
 from localhost_address_matching_ray.config import PipelineConfig
+from localhost_address_matching_ray.functions.arrowbuf import (
+    binary_col_matrix,
+    hex16_col_to_u64,
+)
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -229,28 +232,28 @@ class _PayloadEmitter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.config
         idx, kh = _flat_hashes(batch)
-        row_ids = batch["row_id"].to_pylist()
-        # Per-value width gate: mixed widths that sum to 16n (e.g. 8+24)
-        # would silently scramble rids across rows after the join below.
-        lens = pc.utf8_length(batch["row_id"])
-        if len(row_ids) and not pc.all(
-            pc.equal(lens, pa.scalar(16, pa.int32()))
-        ).as_py():
-            raise ValueError("blocking requires exactly-16-hex-char row_ids")
-        try:
-            rids = np.frombuffer(
-                bytes.fromhex("".join(row_ids)), dtype=">u8"
-            ).astype(np.uint64)
-        except ValueError as exc:
+        # straight off the Arrow value buffers — no per-row Python objects
+        # in this full-corpus pass. hex16_col_to_u64 does the per-value
+        # width gate itself (mixed widths that sum to 16n, non-hex, nulls
+        # all return None), so the contract error stays loud.
+        rids = hex16_col_to_u64(batch["row_id"])
+        if rids is None:
             raise ValueError(
                 "blocking requires 16-hex-char row_ids (the normalize stage "
-                "emits sha256[:16]); got a non-hex id"
-            ) from exc
-        sig8 = batch["sig8"].to_pylist()
-        if sig8:
-            sp16 = np.frombuffer(
-                b"".join(s[:16] for s in sig8), dtype=">u8"
-            ).astype(np.uint64).reshape(-1, 2)
+                "emits sha256[:16]); got a missing/mis-sized/non-hex id"
+            )
+        n_rows = batch.num_rows
+        if n_rows:
+            num_perm = cfg.num_perm
+            s8 = binary_col_matrix(batch["sig8"], num_perm)
+            if s8 is None or num_perm < 16:
+                raise ValueError(
+                    "blocking requires uniform sig8 values of >=16 bytes"
+                )
+            sp16 = (
+                np.ascontiguousarray(s8[:, :16]).view(">u8")
+                .astype(np.uint64).reshape(-1, 2)
+            )
             sigp, sigp2 = sp16[:, 0], sp16[:, 1]
         else:
             sigp = sigp2 = np.empty(0, np.uint64)

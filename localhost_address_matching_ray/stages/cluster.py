@@ -69,31 +69,11 @@ def _hex16_to_u64(ids: list[str]) -> "np.ndarray | None":
 def _hex16_col_to_u64(col: pa.ChunkedArray) -> "np.ndarray | None":
     """Arrow string column of 16-hex-char ids → uint64, straight from the
     value buffer (no per-element to_pylist) — ~10x the list path on
-    millions of edges. None if any value isn't exactly 16 hex chars."""
-    import numpy as np
+    millions of edges. None if any value isn't exactly 16 hex chars.
+    (Shared buffer-bridge implementation in functions/arrowbuf.py.)"""
+    from localhost_address_matching_ray.functions.arrowbuf import hex16_col_to_u64
 
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    n = len(arr)
-    if n == 0:
-        return np.empty(0, dtype=np.uint64)
-    if arr.null_count:
-        return None
-    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
-    start = int(offs[arr.offset])
-    # Per-value check: mixed widths summing to 16*n must not silently
-    # mis-slice (same guard as _fixed_width_bytes).
-    if not np.all(np.diff(offs[arr.offset : arr.offset + n + 1]) == 16):
-        return None
-    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[start : start + 16 * n]
-    try:
-        # a2b_hex accepts bytes directly — no intermediate Python str (the
-        # decode+fromhex round trip measured ~3× this path at 4.8M ids)
-        import binascii
-
-        buf = binascii.a2b_hex(data.tobytes())
-    except (ValueError, binascii.Error):
-        return None
-    return np.frombuffer(buf, dtype=">u8").astype(np.uint64)
+    return hex16_col_to_u64(col)
 
 #: Join aggregator actors must not starve the pool: fractional CPUs, and the
 #: partition count stays well under the session's CPU count.

@@ -36,6 +36,10 @@ import pyarrow as pa
 import ray.data
 
 from localhost_address_matching_ray.config import PipelineConfig
+from localhost_address_matching_ray.functions.arrowbuf import (
+    u8_matrix_to_binary,
+    u64_rows_to_list_array,
+)
 from localhost_address_matching_ray.functions.hashing import (
     MinHasher,
     SimHasher,
@@ -225,7 +229,12 @@ class FeatureExtractor:
             sig_mat = self.minhasher.oph_signature_batch(flat_sh, n_shingles)
         else:
             sig_mat = self.minhasher.signature_batch(flat_sh, n_shingles)
-        sig_bytes = [sig_mat[i].tobytes() for i in range(n)]
+        # one buffer copy for the whole column — byte-identical to per-row
+        # tobytes() but with no n-iteration Python loop (allocator churn
+        # under actor concurrency is the feature stage's measured enemy)
+        sig_col = u8_matrix_to_binary(
+            np.ascontiguousarray(sig_mat).view(np.uint8).reshape(n, -1)
+        ) if n else pa.array([], pa.binary())
         # band keys for the whole batch, vectorized: fold each band's r sig
         # lanes with the lang salt and band index through a splitmix64-style
         # avalanche. Equal (lang, band, sig-lanes) ⇒ equal key — the only
@@ -242,10 +251,15 @@ class FeatureExtractor:
         acc ^= acc >> np.uint64(33)
         acc *= np.uint64(0xFF51AFD7ED558CCD)
         acc ^= acc >> np.uint64(33)
-        block_hashes = [
-            np.concatenate([acc[i], stem_keys[i : i + 1]]) if has_stem[i] else acc[i]
-            for i in range(n)
-        ]
+        # per-row key lists (bands keys, +1 stem key where present) without
+        # a per-row concatenate: mask-select off an (n, bands+1) matrix in
+        # row-major order, then build the list column from flat values
+        bh_mat = np.concatenate([acc, stem_keys[:, None]], axis=1)
+        bh_mask = np.ones((n, bands + 1), dtype=bool)
+        bh_mask[:, bands] = has_stem
+        block_hash_col = u64_rows_to_list_array(
+            bh_mat[bh_mask], bands + has_stem.astype(np.int32)
+        )
         # simhash for the whole batch in one vectorized reduceat pass
         simhashes = self.simhasher.simhash_batch(
             np.concatenate(th_list) if th_list else np.empty(0, np.uint64),
@@ -255,14 +269,14 @@ class FeatureExtractor:
         # the cost at 4k rows/batch); row slices of a C-contiguous uint8
         # matrix serialize with one memcpy each
         sig8_mat = (sig_mat & np.uint64(0xFF)).astype(np.uint8)
-        sig8_bytes = [sig8_mat[i].tobytes() for i in range(n)]
+        sig8_col = u8_matrix_to_binary(sig8_mat) if n else pa.array([], pa.binary())
 
         out = batch.select([c for c in KEEP_COLUMNS if c in batch.column_names])
         return (
             out
-            .append_column("sig", pa.array(sig_bytes, pa.binary()))
-            .append_column("sig8", pa.array(sig8_bytes, pa.binary()))
-            .append_column("block_hashes", pa.array(block_hashes, pa.list_(pa.uint64())))
+            .append_column("sig", sig_col)
+            .append_column("sig8", sig8_col)
+            .append_column("block_hashes", block_hash_col)
             .append_column("simhash", pa.array(simhashes, pa.uint64()))
             .append_column("n_tokens_sig", pa.array(n_tok, pa.int64()))
         )

@@ -45,6 +45,10 @@ import ray
 import ray.data
 
 from localhost_address_matching_ray.config import PipelineConfig
+from localhost_address_matching_ray.functions.arrowbuf import (
+    binary_col_matrix,
+    hex16_col_to_u64,
+)
 from localhost_address_matching_ray.functions.similarity import jaro_winkler
 
 logger = logging.getLogger(__name__)
@@ -288,7 +292,9 @@ def _verify_broadcast(
 
         def fetch(batch: pa.Table) -> pa.Table:
             keys = ray.get(inv_ref)
-            bids = _hex16_to_u64(batch["row_id"].to_pylist())
+            bids = hex16_col_to_u64(batch["row_id"])
+            if bids is None:  # non-16-hex ids: scalar fallback
+                bids = _hex16_to_u64(batch["row_id"].to_pylist())
             pos = np.minimum(np.searchsorted(keys, bids), len(keys) - 1)
             return batch.filter(pa.array(keys[pos] == bids))
 
@@ -302,19 +308,17 @@ def _verify_broadcast(
     ft = pa.concat_tables(
         [t.select(["row_id", "sig8", "stem"]) for t in tbls]
     ).combine_chunks()
-    n_rows = ft.num_rows
     num_perm = config.num_perm
     # zero-copy-ish extraction straight from the Arrow buffers: row_id is
-    # n·16 hex chars and sig8 n·num_perm bytes, both contiguous
-    def flat_values(col: pa.Array, width: int) -> np.ndarray:
-        offs = np.frombuffer(col.buffers()[1], dtype=np.int32)
-        start = int(offs[col.offset])
-        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-        return data[start : start + width * len(col)]
-
-    rid_buf = flat_values(ft["row_id"].chunk(0), 16).tobytes()
-    ids = np.frombuffer(bytes.fromhex(rid_buf.decode("ascii")), dtype=">u8").astype(np.uint64)
-    sigs = flat_values(ft["sig8"].chunk(0), num_perm).reshape(n_rows, num_perm)
+    # n·16 hex chars and sig8 n·num_perm bytes, both contiguous (the shared
+    # helpers validate per-value widths so a malformed id fails loud)
+    ids = hex16_col_to_u64(ft["row_id"])
+    sigs = binary_col_matrix(ft["sig8"], num_perm)
+    if ids is None or sigs is None:
+        raise ValueError(
+            "verify bundle requires 16-hex row_ids and uniform "
+            f"{num_perm}-byte sig8 values"
+        )
     order = np.argsort(ids)
     ids = ids[order]
     sigs = sigs[order]
@@ -334,13 +338,18 @@ def _verify_join(
     involved-row set exceeds the broadcast ceiling."""
     from localhost_address_matching_ray.stages.cluster import _JOIN_ARGS, _partitions_for
 
-    slim = _slim_features(features).map_batches(
-        lambda t: pa.table({
-            "rid_u64": pa.array(_hex16_to_u64(t["row_id"].to_pylist()), pa.uint64()),
+    def to_u64_keyed(t: pa.Table) -> pa.Table:
+        rid = hex16_col_to_u64(t["row_id"])
+        if rid is None:  # non-16-hex ids: scalar fallback
+            rid = _hex16_to_u64(t["row_id"].to_pylist())
+        return pa.table({
+            "rid_u64": pa.array(rid, pa.uint64()),
             "sig8": t["sig8"],
             "stem": t["stem"],
-        }),
-        batch_format="pyarrow",
+        })
+
+    slim = _slim_features(features).map_batches(
+        to_u64_keyed, batch_format="pyarrow",
     ).materialize()
     parts = _partitions_for(max(pairs.count(), 1))
     j1 = pairs.join(
@@ -366,8 +375,11 @@ def _verify_join(
         n = t.num_rows
         if n == 0:
             return pa.table(_EMPTY_EDGES)
-        su = np.frombuffer(b"".join(t["sig_u"].to_pylist()), dtype=np.uint8).reshape(n, num_perm)
-        sv = np.frombuffer(b"".join(t["sig8"].to_pylist()), dtype=np.uint8).reshape(n, num_perm)
+        su = binary_col_matrix(t["sig_u"], num_perm)
+        sv = binary_col_matrix(t["sig8"], num_perm)
+        if su is None or sv is None:  # width drift: scalar fallback
+            su = np.frombuffer(b"".join(t["sig_u"].to_pylist()), dtype=np.uint8).reshape(n, num_perm)
+            sv = np.frombuffer(b"".join(t["sig8"].to_pylist()), dtype=np.uint8).reshape(n, num_perm)
         est = (su == sv).mean(axis=1)
         accept = est >= threshold
         assist = np.flatnonzero((~accept) & (est >= floor))
