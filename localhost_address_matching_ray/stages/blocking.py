@@ -72,6 +72,16 @@ def _stable_bucket(row_id: str, buckets: int) -> int:
     return int.from_bytes(hashlib.sha1(row_id.encode()).digest()[:4], "big") % buckets
 
 
+def _splitmix_arr(x: np.ndarray) -> np.ndarray:
+    """Full splitmix64 finalizer (Steele et al., public domain constants):
+    unlike the one-round salting remix above, its low bits avalanche even
+    for sequential inputs — required for modulo-based row sampling."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def _flat_hashes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """Flatten the ``block_hashes`` list column → (row_index, key_hash)."""
     col = batch["block_hashes"].combine_chunks()
@@ -97,9 +107,17 @@ def block_size_census(
 
     def flatten(batch: pa.Table) -> pa.Table:
         if div > 1:
-            rid_sel = np.array([
-                _stable_bucket(r, div) == 0 for r in batch["row_id"].to_pylist()
-            ])
+            # deterministic 1/div row sample, vectorized off the u64 rid
+            # (splitmix remix — same family as the salting hash; falls back
+            # to the per-row sha1 bucket only for non-16-hex ids)
+            rids = hex16_col_to_u64(batch["row_id"])
+            if rids is not None:
+                rid_sel = _splitmix_arr(rids) % np.uint64(div) == 0
+            else:
+                rid_sel = np.array([
+                    _stable_bucket(r, div) == 0
+                    for r in batch["row_id"].to_pylist()
+                ])
             batch = batch.filter(pa.array(rid_sel))
         _, kh = _flat_hashes(batch)
         # per-batch partial counts shrink the shuffle before it happens
