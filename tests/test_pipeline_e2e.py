@@ -139,3 +139,41 @@ def test_salting_path_clusters_hot_key():
     pred = {r["row_id"]: r["cluster_id"] for r in res["clusters"].take_all()}
     hot_pred = {pred[rid] for rid, c in zip(exp["row_id"], exp["cluster_id"]) if c == hot_cl}
     assert len(hot_pred) == 1
+
+
+def test_single_row_corpus_and_unknown_lang():
+    """Degenerate shapes the 100-TB path must survive: a one-row corpus
+    (every distributed stage sees n=1 — joins/groupbys must not crash on
+    empty partitions) and a lang with no LangConfig (falls back to default
+    shingle_k / no comment styles, still links its exact duplicate)."""
+    import pyarrow as pa
+
+    one = pa.table({
+        "repo": ["r1"], "path": ["a/b.py"], "commit": ["c1"],
+        "lang": ["python"], "content": pa.array(["x = 1\n"], pa.large_string()),
+    })
+    res = link_corpus(ray.data.from_arrow(one), PipelineConfig(feature_concurrency=2))
+    rows = res["clusters"].take_all()
+    assert len(rows) == 1 and rows[0]["cluster_id"]
+
+    # unknown lang: two exact copies + one unrelated file, lang never
+    # registered in PipelineConfig.lang_configs
+    body = "SELECT a, b FROM t WHERE a > 1\n" * 4
+    unk = pa.table({
+        "repo": ["r1", "r2", "r3"],
+        "path": ["q/one.xqy", "q/two.xqy", "q/other.xqy"],
+        "commit": ["c1", "c2", "c3"],
+        "lang": ["xquery", "xquery", "xquery"],
+        "content": pa.array([body, body, "totally different content\n"],
+                            pa.large_string()),
+    })
+    res2 = link_corpus(ray.data.from_arrow(unk), PipelineConfig(feature_concurrency=2))
+    from localhost_address_matching_ray.functions.hashing import row_id_arrow
+
+    rid_of = dict(zip(
+        row_id_arrow(unk["repo"], unk["path"], unk["commit"]),
+        unk["path"].to_pylist(),
+    ))
+    got = {rid_of[r["row_id"]]: r["cluster_id"] for r in res2["clusters"].take_all()}
+    assert got["q/one.xqy"] == got["q/two.xqy"]
+    assert got["q/other.xqy"] != got["q/one.xqy"]
