@@ -66,6 +66,23 @@ def _join_parts(n_left: int) -> int:
     return max(1, min(max(2, cpus), n_left // 500 + 1))
 
 
+def _inner_join(left, right, *, n_left: int, on, right_on=None,
+                empty_schema: pa.Schema, **kw):
+    """``Dataset.join`` wrapper that survives empty sides: Ray's hash-join
+    aggregator builds schemaless tables for empty partitions and Acero then
+    fails with ``No match ... FieldRef`` — but an INNER join with an empty
+    side is empty by definition, so short-circuit to a correctly-typed
+    empty joined table. ``empty_schema`` states the join's output schema
+    explicitly because an all-empty Dataset's ``schema()`` is None (there is
+    no block to infer from)."""
+    if n_left == 0 or right.count() == 0:
+        return ray.data.from_arrow(empty_schema.empty_table())
+    return left.join(
+        right, join_type="inner", num_partitions=_join_parts(n_left),
+        on=on, right_on=right_on, **kw,
+    )
+
+
 # --------------------------------------------------------------------------
 # 1. Corpus linkage family (derived corpus — SQL-reproducible, CORPUS_SQL)
 # --------------------------------------------------------------------------
@@ -791,9 +808,10 @@ def q3_top_orders(sf_dir: str) -> ray.data.Dataset:
     li_agg = li.map_batches(rev, batch_format="pyarrow").groupby("o_orderkey").aggregate(
         Sum("rev", alias_name="revenue")
     ).materialize()
-    agg = li_agg.join(
-        orders_b.materialize(), join_type="inner",
-        num_partitions=_join_parts(li_agg.count()), on=("o_orderkey",),
+    agg = _inner_join(
+        li_agg, orders_b.materialize(), n_left=li_agg.count(), on=("o_orderkey",),
+        empty_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("revenue", pa.float64())]),
         aggregator_ray_remote_args={"num_cpus": 0.25},
     ).map_batches(lambda t: _round_col(t, "revenue", 2), batch_format="pyarrow")
     return agg.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
@@ -867,9 +885,11 @@ def q5_region_revenue(sf_dir: str) -> ray.data.Dataset:
     li_agg = li.map_batches(rev, batch_format="pyarrow").groupby("o_orderkey").aggregate(
         Sum("rev", alias_name="rev"), Count(alias_name="n_items")
     ).materialize()
-    joined = li_agg.join(
-        orders_r.materialize(), join_type="inner",
-        num_partitions=_join_parts(li_agg.count()), on=("o_orderkey",),
+    joined = _inner_join(
+        li_agg, orders_r.materialize(), n_left=li_agg.count(), on=("o_orderkey",),
+        empty_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("rev", pa.float64()), ("n_items", pa.int64()),
+                                ("rcode", pa.int32())]),
         aggregator_ray_remote_args={"num_cpus": 0.25},
     )
     names_arr = pa.array(region_names, pa.string())

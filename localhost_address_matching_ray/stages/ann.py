@@ -215,6 +215,13 @@ def ivf_topk(
     from localhost_address_matching_ray.config import default_pool_size
 
     sample_tbl = _centroid_sample(embeddings, sample_cap)
+    if sample_tbl.num_rows == 0:  # empty corpus: no cells, no neighbors
+        return ray.data.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }))
     cent = _spherical_kmeans(_emb_matrix(sample_tbl), n_cells, seed=seed)
     qm = np.asarray(query_matrix, dtype=np.float64)
     qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
@@ -534,8 +541,18 @@ def _centroid_sample(embeddings: ray.data.Dataset, sample_cap: int) -> pa.Table:
     exact value."""
     slim = embeddings.select_columns(["vec_id", "embedding"])
     n = slim.count()
+    if n == 0:
+        # empty blocks come back schemaless (and Dataset.schema() is None
+        # with no block to infer from); hand callers a TYPED empty table so
+        # their num_rows guard (not a KeyError) decides
+        return pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float64())),
+        })
     if n <= sample_cap:
-        return pa.concat_tables(ray.get(slim.to_arrow_refs()))
+        return pa.concat_tables(
+            [t for t in ray.get(slim.to_arrow_refs()) if t.num_rows]
+        )
     thr = np.uint64(min(2**64 - 1, int(2**64 * min(1.0, 1.25 * sample_cap / n))))
 
     def pick(t: pa.Table) -> pa.Table:
