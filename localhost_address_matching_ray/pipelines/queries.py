@@ -1231,12 +1231,52 @@ def corpus_repo_stats(sf_dir: str) -> ray.data.Dataset:
     ).select_columns(["repo", "n_files", "n_langs", "total_tokens"])
 
 
-@register("embedding_lsh_pairs", None,
+def _lsh_pairs_oracle_sql(
+    threshold: float, n_planes: int, n_tables: int, dim: int = 64, seed: int = 97
+) -> str:
+    """Exact DuckDB oracle for :func:`lsh_cosine_pairs`: the seeded
+    hyperplanes (``RandomState(seed).randn(n_tables, n_planes, dim)`` —
+    identical to ``_HyperplaneKeyer``) are embedded as DOUBLE[] literals
+    (shortest-roundtrip repr = exact float64 recovery), sign bits are packed
+    into per-table codes, and the candidate set is the self-join on
+    (table, code) — the same bucket semantics as the Ray stage modulo a
+    ~2^-64 uint64 key collision. Both sides compute the signs in float64, so
+    a sign flip needs |dot| within summation-order noise (~1e-15 relative)
+    of zero. Scores are the same round-6 exact cosine the brute oracle uses."""
+    planes = np.random.RandomState(seed).randn(n_tables, n_planes, dim)
+    rows = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            lit = "[" + ",".join(repr(x) for x in planes[t, p]) + "]::DOUBLE[]"
+            rows.append(f"({t},{p},{lit})")
+    values = ",\n".join(rows)
+    return f"""
+WITH planes(t, pl, w) AS (VALUES {values}),
+codes AS (
+  SELECT e.vec_id, p.t,
+         CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), p.w) > 0
+                       THEN 1 << p.pl ELSE 0 END) AS BIGINT) AS code
+  FROM embeddings e, planes p
+  GROUP BY e.vec_id, p.t),
+cand AS (
+  SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
+  FROM codes a JOIN codes b ON a.t = b.t AND a.code = b.code AND a.vec_id < b.vec_id)
+SELECT c.u, c.v,
+       round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS score
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.u
+JOIN embeddings eb ON eb.vec_id = c.v
+WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) >= {threshold}"""
+
+
+@register("embedding_lsh_pairs",
+          _lsh_pairs_oracle_sql(threshold=0.45, n_planes=8, n_tables=32),
           "bucket-bounded LSH config (8 planes × 32 tables = 256 buckets/"
           "table): the selectivity-first configuration a large corpus would "
           "run — ~63% recall AT the 0.45 threshold (union bound, rising fast "
-          "with cosine) for strictly bounded bucket sizes — rows-only by "
-          "design (embedding_dup_pairs is the recall-tuned oracled variant)")
+          "with cosine) for strictly bounded bucket sizes; oracle = the "
+          "seeded hyperplanes as SQL literals + (table, sign-code) self-join "
+          "— EXACT, including which pairs LSH misses")
 def embedding_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
     from localhost_address_matching_ray.stages.ann import lsh_cosine_pairs
 

@@ -343,14 +343,15 @@ class _HyperplaneKeyer:
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         n = len(ids)
         keys = np.empty((self.n_tables, n), dtype=np.uint64)
-        for t in range(self.n_tables):
-            signs = ((m @ self.planes[t].T) > 0).astype(np.uint64)  # (n, n_planes)
-            code = signs @ self._pw
-            k = (code + np.uint64(1)) * _LSH_P1 ^ np.uint64(t + 1) * _LSH_P3
-            k ^= k >> np.uint64(30)
-            k *= _LSH_P2
-            k ^= k >> np.uint64(27)
-            keys[t] = k
+        with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+            for t in range(self.n_tables):
+                signs = ((m @ self.planes[t].T) > 0).astype(np.uint64)  # (n, n_planes)
+                code = signs @ self._pw
+                k = (code + np.uint64(1)) * _LSH_P1 ^ np.uint64(t + 1) * _LSH_P3
+                k ^= k >> np.uint64(30)
+                k *= _LSH_P2
+                k ^= k >> np.uint64(27)
+                keys[t] = k
         kh = keys.ravel()
         return pa.table({
             "vec_id": pa.array(np.tile(ids, self.n_tables), pa.int64()),

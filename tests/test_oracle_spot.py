@@ -23,6 +23,7 @@ SPOT_QUERIES = [
     "events_user_sessions",
     "events_sliding_windows",
     "ann_topk",
+    "embedding_lsh_pairs",
     "doc_train_val_split",
     "doc_near_dedup_keep",
     "embedding_near_dedup_keep",
