@@ -129,6 +129,73 @@ SIDE_QUERIES = [
 ]
 
 
+def calibration_sec() -> float:
+    """Fixed single-thread probe (~1 s nominal): host-level co-tenancy on
+    this virtualized box is INVISIBLE to guest loadavg and steal accounting
+    (measured: fixed-work wall swings ~1.6× while loadavg reads 0.2 and
+    /proc/stat steal stays 0), so every bench JSON carries this probe's wall
+    time — a slow headline with a slow probe is box weather, not code. The
+    work is BLAS-free (sort + hash-mix) so thread-pool config can't skew it."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    x = rng.randint(0, 2**62, size=1 << 21).astype(np.uint64)
+
+    def rep(v):
+        y = np.sort(v)
+        return (y ^ (y >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+
+    with np.errstate(over="ignore"):
+        x = rep(x)  # untimed warm-up: first rep pays page faults
+        t0 = time.time()
+        for _ in range(24):
+            x = rep(x)
+    return round(time.time() - t0, 3)
+
+
+def calibration_par_sec(n_threads: int = 16) -> float:
+    """Aggregate-throughput probe: the same fixed work fanned across
+    ``n_threads`` GIL-releasing numpy sorts. The single-thread probe can read
+    normal while the HOST caps aggregate guest CPU (parallel wall inflates) —
+    the failure mode that actually moves this repo's 32-way numbers."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    arrays = [rng.randint(0, 2**62, size=1 << 21).astype(np.uint64)
+              for _ in range(n_threads)]
+
+    def work(x):
+        with np.errstate(over="ignore"):
+            for _ in range(6):
+                y = np.sort(x)
+                x = (y ^ (y >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        return x[0]
+
+    with ThreadPoolExecutor(n_threads) as pool:
+        list(pool.map(work, arrays))  # untimed warm-up
+        t0 = time.time()
+        list(pool.map(work, arrays))
+    return round(time.time() - t0, 3)
+
+
+def wait_quiet() -> None:
+    """Bounded wait for a quiet co-tenant window: this shared box's external
+    load (sampled at 7-15 of 32 cores during round-3/4 campaigns, arriving in
+    ~10-20 min episodes) suppresses any single timing by up to ~2.7×. Waiting
+    (≤4 min by default, bounded so an unattended run never stalls) for 1-min
+    loadavg below GRAFT_QUIET_LOAD measures the system under test, not the
+    co-tenant; disable with GRAFT_SCALING_WAIT_QUIET=0. The loadavg brackets
+    in the output JSON make a weather-skewed number diagnosable either way."""
+    if os.environ.get("GRAFT_SCALING_WAIT_QUIET", "1") == "0":
+        return
+    thr = float(os.environ.get("GRAFT_QUIET_LOAD", "2.5"))
+    deadline = time.time() + float(os.environ.get("GRAFT_QUIET_MAX_WAIT", "240"))
+    while time.time() < deadline and os.getloadavg()[0] > thr:
+        time.sleep(15)
+
+
 def main() -> None:
     import ray
 
@@ -140,7 +207,13 @@ def main() -> None:
 
     DataContext.get_current().enable_progress_bars = False
 
+    ensure_bench_corpus()  # untimed generation/caching before the quiet gate
+    wait_quiet()
+    load0 = os.getloadavg()[0]
+    calib = calibration_sec()
+    calib_par = calibration_par_sec()
     link = run_linkage()
+    load1 = os.getloadavg()[0]
     queries = {"linkage": round(link["sec"], 3)}
     # scaling children time the headline only — side queries just add noise
     if os.environ.get("GRAFT_LINKAGE_ONLY", "0").lower() in ("", "0", "false"):
@@ -157,6 +230,15 @@ def main() -> None:
         "f1": round(link["f1"], 4),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "num_cpus": NUM_CPUS,
+        # co-tenant load brackets (1-min loadavg before/after the headline):
+        # this box carries external load episodes; a skewed number is
+        # diagnosable from the JSON alone
+        "loadavg": [round(load0, 2), round(load1, 2)],
+        # fixed-work box-speed probes (see calibration_sec /
+        # calibration_par_sec): compare across JSONs before comparing
+        # headline seconds
+        "calib_sec": calib,
+        "calib_par_sec": calib_par,
     }
     ray.shutdown()
     print(json.dumps(out))
@@ -167,7 +249,10 @@ def scaling() -> None:
     ensure_bench_corpus()  # shared, cached, warmed by each child
 
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_LINKAGE_ONLY="1")
+        # children must start back-to-back (the pairing rationale below), so
+        # the round-level quiet gate runs in the parent, not in each child
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_LINKAGE_ONLY="1",
+                   GRAFT_SCALING_WAIT_QUIET="0")
         last_err = ""
         for attempt in range(2):  # one retry: raylet startup is flaky under load
             res = subprocess.run(
@@ -191,21 +276,9 @@ def scaling() -> None:
     # per-round ratios (a best-of estimator would let each level pick its
     # luckiest run independently and bias the ratio).
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
-
-    def wait_quiet() -> None:
-        """Bounded wait for a quiet co-tenant window: this shared box's
-        external load (sampled at 7-15 of 32 cores during round-3 campaigns)
-        suppresses the 16-CPU leg proportionally more than the 4-CPU leg,
-        biasing every measured ratio down. Waiting (≤4 min by default,
-        bounded so an unattended run never stalls) for 1-min loadavg below
-        GRAFT_QUIET_LOAD measures the system under test, not the co-tenant;
-        disable with GRAFT_SCALING_WAIT_QUIET=0."""
-        if os.environ.get("GRAFT_SCALING_WAIT_QUIET", "1") == "0":
-            return
-        thr = float(os.environ.get("GRAFT_QUIET_LOAD", "2.5"))
-        deadline = time.time() + float(os.environ.get("GRAFT_QUIET_MAX_WAIT", "240"))
-        while time.time() < deadline and os.getloadavg()[0] > thr:
-            time.sleep(15)
+    # the module-level wait_quiet gates each round: external load suppresses
+    # the hi-CPU leg proportionally more than the lo leg, biasing every
+    # measured ratio down
 
     rounds = []
     for i in range(repeats):
@@ -229,7 +302,9 @@ def scaling() -> None:
             "loadavg": [round(load0, 2), round(load1, 2)],
         })
         print(f"# round {i} ({order}): lo={r_lo['value']}s hi={r_hi['value']}s "
-              f"eff={eff:.3f} loadavg={load0:.1f}->{load1:.1f}", file=sys.stderr)
+              f"eff={eff:.3f} loadavg={load0:.1f}->{load1:.1f} "
+              f"calib={r_lo.get('calib_sec')}/{r_hi.get('calib_sec')}",
+              file=sys.stderr)
     # lower-middle for even N (rounds[n//2] would be the MAX of two — the
     # best-of bias again); report efficiencies in RUN order so box-weather
     # drift stays diagnosable from the JSON
@@ -254,6 +329,13 @@ def scaling() -> None:
         "round_efficiencies": [round(r["eff"], 3) for r in rounds],
         "round_loadavg": [r["loadavg"] for r in rounds],
         "round_order": [r["order"] for r in rounds],
+        # per-leg fixed-work box-speed probes [lo, hi] (see calibration_sec):
+        # a round whose two probes differ ran through a weather change — its
+        # ratio measures the box, not the code
+        "round_calib": [[r["r_lo"].get("calib_sec"), r["r_hi"].get("calib_sec")]
+                        for r in rounds],
+        "round_calib_par": [[r["r_lo"].get("calib_par_sec"),
+                             r["r_hi"].get("calib_par_sec")] for r in rounds],
         "min_sec_lo": min_lo, "min_sec_hi": min_hi,
         "min_pairing_efficiency": round(min_lo / ((hi / lo) * min_hi), 3),
     }))
