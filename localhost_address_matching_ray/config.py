@@ -176,7 +176,16 @@ class PipelineConfig:
             # Resolve the cluster-relative width ONCE, at driver-side
             # construction, so the concrete int ships into every actor —
             # no driver/worker disagreement on an autoscaling cluster.
-            object.__setattr__(self, "census_buckets", bucket_width())
+            # If the config is built BEFORE ray.init() (common: `cfg =
+            # PipelineConfig(); ray.init(); link_corpus(corpus, cfg)`),
+            # bucket_width() would see 0 CPUs and silently pin the floor
+            # (64) on a 256-CPU cluster — so keep the 0 sentinel and let
+            # link_corpus / the stage entry points resolve it lazily once
+            # the cluster size is knowable.
+            import ray
+
+            if ray.is_initialized():
+                object.__setattr__(self, "census_buckets", bucket_width())
 
     @property
     def effective_minhash_mode(self) -> str:

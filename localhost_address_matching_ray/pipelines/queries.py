@@ -467,7 +467,17 @@ sh AS (
          tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
   FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
 ss AS (SELECT doc_id, lang, list_distinct(list(shingle)) AS ss
-       FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id, lang),
+       FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id, lang
+       UNION ALL
+       -- <k-token docs have only NULL lead-window shingles but the engine
+       -- (docs_ops._doc_shingles / hashing.shingle_hashes_from) keeps them
+       -- as ONE whole-doc shingle — the normalized text itself — so two
+       -- identical short docs still count as duplicates; empty docs emit
+       -- nothing on both sides
+       SELECT doc_id, lang, [{_DOCNORM}] AS ss
+       FROM documents
+       WHERE length({_DOCNORM}) > 0
+         AND len(string_split({_DOCNORM}, ' ')) < 3),
 ngram_pairs AS (
   SELECT a.doc_id AS u, b.doc_id AS v,
          round(len(list_intersect(a.ss, b.ss))::DOUBLE / len(list_distinct(a.ss || b.ss)), 6) AS jaccard

@@ -49,6 +49,10 @@ def _sheet_part(zf: zipfile.ZipFile, sheet: str | None) -> str:
     for sh in wb.find(f"{_NS}sheets").findall(f"{_NS}sheet"):
         if sheet is None or sh.get("name") == sheet:
             target = rid_to_target[sh.get(rid_attr)]
+            if target.startswith("/"):
+                # OOXML permits absolute part names ('/xl/worksheets/…');
+                # they are already workbook-root-relative once de-slashed
+                return target.lstrip("/")
             return target if target.startswith("xl/") else f"xl/{target}"
     raise KeyError(f"sheet {sheet!r} not found in workbook")
 

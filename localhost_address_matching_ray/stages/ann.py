@@ -39,7 +39,13 @@ def _empty_pairs() -> ray.data.Dataset:
     }))
 
 
-def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+def _emb_matrix(batch: pa.Table, col: str = "embedding", dim: int = 0) -> np.ndarray:
+    """Embedding list column → (n, dim) float64 matrix. ``dim`` matters only
+    for 0-row batches (a filter can empty a single block mid-dataset; the
+    list type carries no width to reshape(-1) against) — per-batch UDFs
+    pass their known dimension so the empty matrix still matmuls cleanly."""
+    if batch.num_rows == 0:
+        return np.empty((0, dim), dtype=np.float64)
     arr = batch[col].combine_chunks()
     flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(batch.num_rows, -1)
@@ -57,9 +63,16 @@ class _TopKScorer:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cm = _emb_matrix(batch)
+        cm = _emb_matrix(batch, dim=self.qm.shape[1])
         sims = _cosine_matrix(self.qm, cm)  # (nq, nb)
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        # columns ordered by vec_id so the stable argsort's candidate cut
+        # breaks score TIES by vec_id asc — the final reduce's (and the
+        # DuckDB oracle's) ranking contract; batch-position tie-breaks
+        # would let a duplicate vector's larger ids evict smaller ones
+        # before the global reduce ever saw them
+        vo = np.argsort(vec_ids, kind="stable")
+        sims, vec_ids = sims[:, vo], vec_ids[vo]
         nq, nb = sims.shape
         k = min(self.k + 1, nb)  # +1: self-hit may be in-batch
         # per query: candidate top-k within this batch
@@ -153,7 +166,7 @@ class _IvfTopKScorer:
         self.n_probe_data = n_probe_data
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _emb_matrix(batch)
+        m = _emb_matrix(batch, dim=self.cent.shape[1])
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         pd_ = min(self.n_probe_data, self.cent.shape[0])
         cells = np.argsort(-(mn @ self.cent.T), axis=1, kind="stable")[:, :pd_]
@@ -164,6 +177,9 @@ class _IvfTopKScorer:
             if qidx is None or len(qidx) == 0:
                 continue
             rows = np.where((cells == c).any(axis=1))[0]
+            # vec_id-ordered rows: stable argsort then breaks score ties by
+            # vec_id asc — the reduce's ranking contract (see _TopKScorer)
+            rows = rows[np.argsort(vec_ids[rows], kind="stable")]
             sims = _cosine_matrix(self.qm[qidx], m[rows])  # (nq_c, nr)
             kk = min(self.k + 1, len(rows))
             idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
@@ -280,7 +296,7 @@ def cosine_pairs(
     def score(batch: pa.Table) -> pa.Table:
         ref = ray.get(mat_ref)
         bids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        sims = _cosine_matrix(_emb_matrix(batch), ref["m"])
+        sims = _cosine_matrix(_emb_matrix(batch, dim=ref["m"].shape[1]), ref["m"])
         bi, fj = np.nonzero(sims >= threshold)
         u, v, s = bids[bi], ref["ids"][fj], sims[bi, fj]
         keep = u < v
@@ -290,7 +306,11 @@ def cosine_pairs(
             "score": pa.array(s[keep], pa.float64()),
         })
 
-    return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+    # map over the ALREADY-materialized selection: re-running the original
+    # lineage would execute every upstream op a second time and could score
+    # a different row set than the broadcast matrix if any upstream op is
+    # nondeterministic
+    return all_tbl.map_batches(
         score, batch_format="pyarrow", batch_size=2048
     )
 
@@ -329,17 +349,19 @@ class _HyperplaneKeyer:
     """
 
     def __init__(self, dim: int, n_planes: int = 12, n_tables: int = 8, seed: int = 97,
-                 n_buckets: int | None = None) -> None:
-        from localhost_address_matching_ray.config import bucket_width
-
+                 n_buckets: int = 64) -> None:
+        # n_buckets MUST be resolved on the driver and passed in: this class
+        # runs as a map_batches actor, and config.bucket_width() evaluated on
+        # workers of an autoscaling cluster could disagree across actors —
+        # same bucket_key, different bucket → silently dropped pairs.
         rng = np.random.RandomState(seed)
         self.planes = rng.randn(n_tables, n_planes, dim)
         self.n_tables = n_tables
         self._pw = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
-        self.n_buckets = np.uint64(n_buckets or bucket_width())
+        self.n_buckets = np.uint64(n_buckets)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _emb_matrix(batch)
+        m = _emb_matrix(batch, dim=self.planes.shape[2])
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         n = len(ids)
         keys = np.empty((self.n_tables, n), dtype=np.uint64)
@@ -441,7 +463,7 @@ def lsh_cosine_pairs(
     vectors; the remaining tables cover the ring)."""
     import logging
 
-    from localhost_address_matching_ray.config import default_pool_size
+    from localhost_address_matching_ray.config import bucket_width, default_pool_size
 
     logger = logging.getLogger(__name__)
     emb = embeddings.select_columns(["vec_id", "embedding"]).materialize()
@@ -465,7 +487,10 @@ def lsh_cosine_pairs(
     dim = mat.shape[1]
 
     keyed = emb.map_batches(
-        _HyperplaneKeyer, fn_constructor_args=(dim, n_planes, n_tables),
+        _HyperplaneKeyer,
+        # bucket width resolved HERE on the driver (config.bucket_width's
+        # contract) so every pool actor shares one modulus
+        fn_constructor_args=(dim, n_planes, n_tables, 97, bucket_width()),
         batch_format="pyarrow", batch_size=4096,
         concurrency=default_pool_size(concurrency), num_cpus=1,
     )
@@ -651,7 +676,7 @@ def ivf_cosine_pairs(
 
     def assign(batch: pa.Table) -> pa.Table:
         c = _cached_bundle(cent_ref)
-        m = _emb_matrix(batch)
+        m = _emb_matrix(batch, dim=c.shape[1])
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = mn @ c.T
         p = min(n_probe, sims.shape[1])
@@ -831,7 +856,7 @@ def _score_pairs_join(
     fsb_type = pa.binary(4 * dim)
 
     def pack(t: pa.Table) -> pa.Table:
-        m = np.ascontiguousarray(_emb_matrix(t).astype(np.float32))
+        m = np.ascontiguousarray(_emb_matrix(t, dim=dim).astype(np.float32))
         fsb = pa.FixedSizeBinaryArray.from_buffers(
             fsb_type, t.num_rows, [None, pa.py_buffer(m.tobytes())]
         )

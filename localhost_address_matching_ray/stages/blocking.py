@@ -47,7 +47,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from localhost_address_matching_ray.config import PipelineConfig
+from localhost_address_matching_ray.config import PipelineConfig, bucket_width
 from localhost_address_matching_ray.functions.arrowbuf import (
     binary_col_matrix,
     hex16_col_to_u64,
@@ -102,7 +102,10 @@ def block_size_census(
     still surfaces at ~size/div with overwhelming probability, and the
     shuffle shrinks by the same factor. ``n`` in the output is the
     scaled-back estimate. Pass ``sample_div=1`` for exact counts."""
-    buckets = config.census_buckets
+    # `or bucket_width()`: a config built before ray.init() carries the 0
+    # sentinel (config.py) — resolve it here on the driver for direct
+    # library callers that bypass link_corpus
+    buckets = config.census_buckets or bucket_width()
     div = sample_div if sample_div is not None else config.census_sample_div
 
     def flatten(batch: pa.Table) -> pa.Table:
@@ -334,6 +337,12 @@ def emit_block_rows(
     dropped BEFORE the shuffle; without it, they are dropped vectorized
     inside the pair stage's bucket groups — either way they never cost
     per-group Python calls."""
+    if config.census_buckets <= 0:
+        # pre-ray.init() config sentinel (config.py) — resolve on the
+        # driver before the config ships into the emitter actors
+        from dataclasses import replace
+
+        config = replace(config, census_buckets=bucket_width())
     hk = np.array(sorted((hot_keys or {}).keys()), dtype=np.uint64)
     hs = np.array([(hot_keys or {})[int(k)] for k in hk], dtype=np.int64)
     hot_ref = ray.put((hk, hs))

@@ -193,9 +193,12 @@ def _contract_edge_blocks(edges: ray.data.Dataset) -> ray.data.Dataset:
         lab = _min_label_components(inv[:n], inv[n:], len(all_ids))
         keep = lab != np.arange(len(all_ids))
         hexs = _u64_to_hex16(all_ids)
+        # buffer-built strings: this path only runs above driver_cc_max_edges
+        # (30M), where np.char.decode's per-value cost (~1 s / 1.6M values)
+        # would eat the contraction's whole margin
         return pa.table({
-            "u": pa.array(np.char.decode(hexs[lab[keep]], "ascii"), pa.string()),
-            "v": pa.array(np.char.decode(hexs[keep], "ascii"), pa.string()),
+            "u": _s16_to_arrow(hexs[lab[keep]]),
+            "v": _s16_to_arrow(hexs[keep]),
         })
 
     # whole-block batches: contraction quality grows with batch size
@@ -390,23 +393,19 @@ def connected_components(
 def _fixed_width_bytes(col: pa.ChunkedArray | pa.Array, width: int) -> "np.ndarray | None":
     """Arrow string column whose values are ALL exactly ``width`` chars →
     numpy ``S{width}`` array, zero-copy from the value buffer. None when any
-    value has a different length (falls back to the scalar path)."""
+    value has a different length (falls back to the scalar path). Thin view
+    over the shared validated bridge (``functions.arrowbuf._flat_u8``) so
+    the subtle offset/width/null logic lives in exactly one place."""
     import numpy as np
 
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    n = len(arr)
-    if n == 0:
+    from localhost_address_matching_ray.functions.arrowbuf import _flat_u8
+
+    flat = _flat_u8(col, width)
+    if flat is None:
+        return None
+    if len(flat) == 0:
         return np.empty(0, dtype=f"S{width}")
-    if arr.null_count:
-        return None
-    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
-    start = int(offs[arr.offset])
-    # Per-value width check: a total of width*n can hide mixed widths that
-    # sum right (e.g. 63+65); every value must be exactly `width` chars.
-    if not np.all(np.diff(offs[arr.offset : arr.offset + n + 1]) == width):
-        return None
-    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[start : start + width * n]
-    return data.view(f"S{width}")
+    return flat.view(f"S{width}")
 
 
 def _assign_broadcast_u64(
@@ -482,11 +481,13 @@ def _assign_broadcast_u64(
             out[hit] = vals[pos[hit]]
             cluster_id = _sbytes_to_arrow(out, 64)
         else:
-            out = np.asarray(
-                t["content_sha256"].to_numpy(zero_copy_only=False), dtype="S64"
-            )
-            out[hit] = vals[pos[hit]]
-            cluster_id = pa.array(np.char.decode(out, "ascii"), pa.string())
+            # non-uniform sha widths (the reason `fixed` is None): an S64
+            # cast would silently TRUNCATE longer values into corrupt
+            # cluster_ids — keep Python strings on this rare fallback
+            out_list = t["content_sha256"].to_pylist()
+            for i in np.flatnonzero(hit):
+                out_list[i] = vals[pos[i]].decode("ascii")
+            cluster_id = pa.array(out_list, pa.string())
         return pa.table({
             "row_id": t["row_id"],
             "cluster_id": cluster_id,

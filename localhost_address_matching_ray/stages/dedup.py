@@ -47,7 +47,13 @@ def split_reps_and_edges(
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """reps = rows that are their own representative (keep all columns,
     including content, for the feature stage); exact_edges = (u, v, 1.0)
-    star edges for every non-rep member."""
+    star edges for every non-rep member.
+
+    Callers consuming BOTH outputs must pass a MATERIALIZED ``tagged``
+    (link_corpus does): both returned datasets extend its lineage, so an
+    unmaterialized input re-runs tag_exact_groups' full-corpus hash join
+    once per consumer. ``exact_dedup`` consumes only ``reps`` and is exempt.
+    """
     reps = tagged.map_batches(
         lambda t: t.filter(pc.equal(t["row_id"], t["rep_row_id"])),
         batch_format="pyarrow",

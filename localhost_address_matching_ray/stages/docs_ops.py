@@ -99,9 +99,12 @@ def _pairwise_jaccard_block(
     size = m.sum(axis=1)
     union = size[:, None] + size[None, :] - inter
     with np.errstate(divide="ignore", invalid="ignore"):
-        jac = np.where(union > 0, inter / union, 1.0)
+        # union == 0 (both sets empty) is NOT a duplicate pair: empty docs
+        # emit no shingles on the LSH path and no ss row in the SQL oracle,
+        # so scoring them 1.0 here would clique every empty doc together
+        jac = np.where(union > 0, inter / union, 0.0)
     iu = np.triu_indices(k, 1)
-    mask = jac[iu] >= threshold
+    mask = (jac[iu] >= threshold) & (union[iu] > 0)
     ii, jj = iu[0][mask], iu[1][mask]
     # exact value parity with SQL: recompute the kept few as int/int division
     us, vs, sc = [], [], []
@@ -110,7 +113,7 @@ def _pairwise_jaccard_block(
         inter_ab = len(sets[ia] & sets[ib])
         union_ab = len(sets[ia] | sets[ib])
         us.append(int(ids[ia])); vs.append(int(ids[ib]))
-        sc.append(float(duckdb_round(inter_ab / union_ab, 6)) if union_ab else 1.0)
+        sc.append(float(duckdb_round(inter_ab / union_ab, 6)))
     return us, vs, sc
 
 
@@ -170,8 +173,12 @@ def token_jaccard_pairs(
 
     def per_lang(group: pa.Table) -> pa.Table:
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        # unconditional split: '' → {''} — exactly DuckDB's
+        # string_split('', ' ') = [''], so two empty docs pair at 1.0 like
+        # the registered oracle (empty-vs-nonempty stays 0.0: '' never
+        # appears in a nonempty normalized doc's token set)
         sets = [
-            set(normalize_content(t).split(" ")) if normalize_content(t) else set()
+            set(normalize_content(t).split(" "))
             for t in group["text"].to_pylist()
         ]
         us, vs, sc = _pairwise_jaccard_block(ids, sets, threshold)
@@ -555,7 +562,11 @@ def _i64_col_to_hex16(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     hexs = np.frombuffer(
         binascii.hexlify(ids.astype(">u8").tobytes()), dtype="S16"
     )
-    return pa.array(np.char.decode(hexs, "ascii"), pa.string())
+    # buffer handoff, not np.char.decode: this runs per batch over the full
+    # pair/edge stream feeding connected components
+    from localhost_address_matching_ray.stages.cluster import _s16_to_arrow
+
+    return _s16_to_arrow(hexs)
 
 
 def _hex16_col_to_i64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:

@@ -91,7 +91,20 @@ def _unique_pairs(arr: np.ndarray) -> np.ndarray:
 
 def _hex16_to_u64(ids: list[str]) -> np.ndarray:
     """row_id (16 hex chars, sha256 prefix) → uint64; big-endian view keeps
-    lexicographic order, so u64 compares == string compares."""
+    lexicographic order, so u64 compares == string compares.
+
+    This is the fallback for when the Arrow buffer fast path returned None
+    — i.e. exactly when some id is NOT uniformly 16 hex chars — so it must
+    validate per-id: joining mixed-width ids and slicing the blob at 16-char
+    boundaries would silently scramble keys across rows (the
+    blocking._PayloadEmitter lesson), dropping candidate pairs downstream."""
+    bad = [i for i in ids if len(i) != 16]
+    if bad:
+        raise ValueError(
+            f"row_id must be 16 hex chars (pipeline contract; "
+            f"functions.hashing assign_row_ids produces them): got e.g. "
+            f"{bad[0]!r}"
+        )
     return np.frombuffer(bytes.fromhex("".join(ids)), dtype=">u8").astype(np.uint64)
 
 
@@ -377,9 +390,24 @@ def _verify_join(
             return pa.table(_EMPTY_EDGES)
         su = binary_col_matrix(t["sig_u"], num_perm)
         sv = binary_col_matrix(t["sig8"], num_perm)
-        if su is None or sv is None:  # width drift: scalar fallback
-            su = np.frombuffer(b"".join(t["sig_u"].to_pylist()), dtype=np.uint8).reshape(n, num_perm)
-            sv = np.frombuffer(b"".join(t["sig8"].to_pylist()), dtype=np.uint8).reshape(n, num_perm)
+        if su is None or sv is None:
+            # the buffer path returns None exactly when some value is NOT
+            # num_perm bytes — joining and reshaping would then compare
+            # misaligned signature bytes (silently wrong jaccard), so this
+            # path only re-packs per-value and fails LOUDLY on real drift
+            def repack(col) -> np.ndarray:
+                vals = col.to_pylist()
+                bad = next((v for v in vals if len(v) != num_perm), None)
+                if bad is not None:
+                    raise ValueError(
+                        f"signature width drift: expected {num_perm} bytes, "
+                        f"got {len(bad)} — feature stage / config.num_perm "
+                        f"mismatch (stale checkpoint?)"
+                    )
+                return np.frombuffer(b"".join(vals), dtype=np.uint8).reshape(n, num_perm)
+
+            su = repack(t["sig_u"])
+            sv = repack(t["sig8"])
         est = (su == sv).mean(axis=1)
         accept = est >= threshold
         assist = np.flatnonzero((~accept) & (est >= floor))
@@ -509,6 +537,13 @@ def verify_edges(
     largest non-scaling term in the 4→16 CPU efficiency. Above the
     broadcast ceiling, pairs ARE deduped first (a join fetch pays per
     pair), then fetched via partitioned hash joins."""
+    if config.census_buckets <= 0:
+        # pre-ray.init() config sentinel (config.py) — resolve driver-side
+        from dataclasses import replace
+
+        from localhost_address_matching_ray.config import bucket_width
+
+        config = replace(config, census_buckets=bucket_width())
     pairs = pairs.materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:

@@ -33,7 +33,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CKPT = os.environ.get("GRAFT_RESUME_CKPT", "/tmp/linkage_resume_demo_ckpt")
-ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "1000000"))
+# Pin the corpus size INTO the environment so bench.ensure_bench_corpus
+# (whose own default is 250k) and every child process build the same corpus
+# the FINGERPRINT below describes — a split default here once stamped 1M
+# checkpoints over a 250k run.
+os.environ.setdefault("GRAFT_BENCH_ROWS", "1000000")
+ROWS = int(os.environ["GRAFT_BENCH_ROWS"])
 CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 FINGERPRINT = f"bench_corpus_v2_n{ROWS}_s42"
 

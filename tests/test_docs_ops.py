@@ -296,3 +296,69 @@ def test_keep_representatives_join_fallback(docs):
         ).take_all()
     }
     assert joined == broad
+
+
+def test_degenerate_docs_match_ngram_and_token_oracles():
+    """Short (<k-token) and empty docs are where the lead-window SQL and the
+    whole-doc-shingle kernel historically diverged: the oracle now carries
+    the short-doc UNION branch and the kernel excludes empty-vs-empty pairs,
+    so all three surfaces (exact ngram, LSH, token jaccard) must agree with
+    their registered SQL on this fixture."""
+    import duckdb
+
+    from localhost_address_matching_ray.pipelines.queries import REGISTRY
+    from localhost_address_matching_ray.stages.docs_ops import (
+        minhash_lsh_pairs,
+        ngram_dup_pairs,
+        token_jaccard_pairs,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7, 8, 9], pa.int64()),
+        "lang": pa.array(["en"] * 9, pa.string()),
+        "text": pa.array(
+            ["a b", "a b", "", "", "x", "x",
+             "one two three four", "one two three four", "a  b"],
+            pa.string(),
+        ),
+    })
+    docs = ray.data.from_arrow(tbl)
+    con = duckdb.connect()
+    con.register("documents", tbl)
+
+    def pairs(ds):
+        return sorted((r["u"], r["v"], r["jaccard"]) for r in ds.take_all())
+
+    oracle_ngram = sorted(map(tuple, con.execute(
+        REGISTRY["doc_ngram_dup_pairs"].sql).fetchall()))
+    assert oracle_ngram, "fixture must produce oracle pairs"
+    assert pairs(ngram_dup_pairs(docs, k=3, threshold=0.5)) == oracle_ngram
+    assert pairs(minhash_lsh_pairs(docs, threshold=0.5)) == oracle_ngram
+    # empty docs: NOT ngram dups (no shingles) but ARE token-jaccard dups
+    # (DuckDB string_split('', ' ') = [''] — both sides pair them at 1.0)
+    oracle_tok = sorted(map(tuple, con.execute(
+        REGISTRY["doc_token_jaccard_pairs"].sql).fetchall()))
+    assert (3, 4, 1.0) in oracle_tok
+    assert pairs(token_jaccard_pairs(docs, threshold=0.97)) == oracle_tok
+
+
+def test_ann_topk_tie_break_by_vec_id_across_batch_cut():
+    """Duplicate vectors tie on score; the per-batch candidate cut must keep
+    the SMALLEST vec_ids (the reduce's and the oracle's tie-break), not the
+    first by batch position — ids stored descending expose the difference."""
+    import numpy as np
+
+    from localhost_address_matching_ray.stages.ann import ann_topk
+
+    n, dim, k = 15, 4, 10
+    vec = np.array([1.0, 2.0, 3.0, 4.0])
+    tbl = pa.table({
+        # descending insertion order: a batch-position cut would keep
+        # ids 114..104 and silently drop 100..103 before the reduce
+        "vec_id": pa.array(np.arange(n - 1, -1, -1) + 100, pa.int64()),
+        "embedding": pa.array([vec.tolist()] * n, pa.list_(pa.float64())),
+    })
+    emb = ray.data.from_arrow(tbl)
+    out = ann_topk(emb, np.array([100]), vec[None, :], k=k).take_all()
+    got = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == list(range(101, 101 + k))

@@ -78,6 +78,27 @@ def test_xlsx_reader_handles_shared_strings_and_gaps(tmp_path):
     assert rows == [["lang", "", "k"], ["python", "42", ""]]
 
 
+def test_xlsx_reader_handles_absolute_rel_targets(tmp_path):
+    """OOXML permits absolute part names in relationship Targets
+    ('/xl/worksheets/sheet1.xml'); the resolver must not double-prefix."""
+    import zipfile
+
+    from localhost_address_matching_ray.sources.xlsx import read_xlsx_rows, write_xlsx
+
+    p = str(tmp_path / "abs_target.xlsx")
+    write_xlsx(p, [["a", "b"], ["1", "2"]])
+    with zipfile.ZipFile(p) as zf:
+        parts = {n: zf.read(n) for n in zf.namelist()}
+    parts["xl/_rels/workbook.xml.rels"] = parts["xl/_rels/workbook.xml.rels"].replace(
+        b'Target="worksheets/sheet1.xml"', b'Target="/xl/worksheets/sheet1.xml"'
+    )
+    assert b"/xl/worksheets/sheet1.xml" in parts["xl/_rels/workbook.xml.rels"]
+    with zipfile.ZipFile(p, "w") as zf:
+        for n, data in parts.items():
+            zf.writestr(n, data)
+    assert read_xlsx_rows(p) == [["a", "b"], ["1", "2"]]
+
+
 def test_dimension_file_drives_actor_state(tmp_path):
     """File → LangConfig dict → feature-stage worker state: the per-lang
     comment style from the FILE decides which tokens survive (map.py:101-125

@@ -31,6 +31,24 @@ def test_census_buckets_resolved_at_construction():
     assert PipelineConfig(census_buckets=128).census_buckets == 128  # explicit
 
 
+def test_census_buckets_pre_init_sentinel_resolves_lazily(monkeypatch):
+    """A config built BEFORE ray.init() must not pin the floor (64) forever:
+    the 0 sentinel survives construction and the stage entry points resolve
+    it against the live cluster (the 256-CPU-cluster-capped-at-64 trap)."""
+    import ray
+
+    monkeypatch.setattr(ray, "is_initialized", lambda: False)
+    cfg = PipelineConfig()
+    assert cfg.census_buckets == 0  # sentinel survives pre-init
+    # cluster comes up bigger than the floor — lazy resolution must see it
+    monkeypatch.setattr(ray, "is_initialized", lambda: True)
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 256})
+    from dataclasses import replace
+
+    resolved = replace(cfg, census_buckets=bucket_width())
+    assert resolved.census_buckets == 1024
+
+
 def test_hex16_col_rejects_mixed_widths():
     ok = pa.chunked_array([pa.array(["00" * 8, "ff" * 8])])
     out = _hex16_col_to_u64(ok)
