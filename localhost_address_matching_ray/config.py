@@ -98,6 +98,19 @@ class PipelineConfig:
     salt_buckets: int = 8        # sub-blocks per hot key
 
     # --- scoring / clustering ---
+    verify_mode: str = "estimate"
+    # "estimate" (default, the 100-TB scale path): candidate pairs are scored
+    #   by MinHash-signature byte equality — the blocking shuffle and the
+    #   verify fetch ship 128 B/row regardless of document size.
+    # "exact": the classic LSH-then-exact-verify shape — candidates still
+    #   come from the LSH/stem blocking, but each pair is verified by EXACT
+    #   token-set Jaccard over the normalized content's token-hash sets
+    #   (sorted-unique uint64 per row, intersected with one vectorized
+    #   lexsort pass per batch — the stages/docs_ops.py kernel). Maximum
+    #   precision, SQL-expressible edge predicate (the corpus_linkage_clusters
+    #   oracle), at the cost of shipping token sets instead of signatures;
+    #   bounded by verify_broadcast_max_rows (beyond it, estimate mode is
+    #   the scale path).
     jaccard_threshold: float = 0.60   # shingle-Jaccard edge threshold (non-dups score ~0, minor edits ~0.7+)
     stem_sim_threshold: float = 0.90  # Jaro-Winkler path-stem assist threshold:
                                       # pairs below jaccard_threshold but at/above
@@ -166,6 +179,11 @@ class PipelineConfig:
     extra_rules: tuple[tuple[str, str], ...] = ()
 
     def __post_init__(self) -> None:
+        if self.verify_mode not in ("estimate", "exact"):
+            raise ValueError(
+                f"verify_mode must be 'estimate' or 'exact', got "
+                f"{self.verify_mode!r}"
+            )
         if self.minhash_mode not in ("oph", "classic"):
             raise ValueError(
                 f"minhash_mode must be 'oph' or 'classic', got "

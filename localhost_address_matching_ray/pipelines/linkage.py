@@ -90,6 +90,10 @@ def link_corpus(
     # — a different family yields incomparable signatures, so it must
     # invalidate feature-derived checkpoints just like a minhash-mode flip
     fver = f"{ver}+mh-{config.effective_minhash_mode}+th256"
+    if config.verify_mode != "estimate":
+        # exact mode changes the feature schema (tok64) AND the edge
+        # predicate — features/edges/clusters checkpoints are incomparable
+        fver += f"+vf-{config.verify_mode}"
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     # parallelism floor: ≥2 blocks per CPU AND ≥4 blocks per feature actor.
@@ -152,13 +156,42 @@ def link_corpus(
         # (content-free, rep-only) feature table instead of recomputing it.
         features = features.materialize()
     metrics.phase("features")
+    schema = features.schema()
+    if schema is None:
+        # ALL-empty input: no block carries a schema (Dataset.schema() is
+        # None — the known Ray trap), so every select/groupby below would
+        # fail. The linkage of nothing is nothing: return the canonical
+        # empty result set with explicit schemas.
+        import pyarrow as pa
+
+        empty_edges = ray.data.from_arrow(pa.table({
+            "u": pa.array([], pa.string()), "v": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64()),
+        }))
+        empty_components = ray.data.from_arrow(pa.table({
+            "row_id": pa.array([], pa.string()),
+            "cluster_label": pa.array([], pa.string()),
+        }))
+        empty_clusters = ray.data.from_arrow(pa.table({
+            "row_id": pa.array([], pa.string()),
+            "cluster_id": pa.array([], pa.string()),
+        }))
+        for ph in ("census", "edges", "cc", "assign", "metrics"):
+            metrics.phase(ph)
+        if ckpt is not None:
+            metrics.write(ckpt)
+        return {
+            "normalized": features, "reps": reps, "features": features,
+            "edges": empty_edges, "components": empty_components,
+            "clusters": empty_clusters, "metrics": metrics,  # type: ignore[dict-item]
+        }
     if rows_view is None:
         # fused fast path: the feature table doubles as the row view, minus
         # the feature payload columns — list/binary columns must not reach
         # downstream joins (Arrow hash join rejects list non-key fields)
         from localhost_address_matching_ray.stages.feature_stage import KEEP_COLUMNS
 
-        schema_names = features.schema().names
+        schema_names = schema.names
         rows_view = features.select_columns(
             [c for c in KEEP_COLUMNS if c in schema_names]
         )

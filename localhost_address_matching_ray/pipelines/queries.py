@@ -270,9 +270,7 @@ def corpus_pair_scores(sf_dir: str) -> ray.data.Dataset:
     ).groupby("lang").map_groups(per_lang, batch_format="pyarrow")
 
 
-@register(
-    "corpus_clusters",
-    _PAIR_CTE.replace("WITH corpus", "WITH RECURSIVE corpus") + """,
+_CLUSTERS_SQL = _PAIR_CTE.replace("WITH corpus", "WITH RECURSIVE corpus") + """,
 edges AS (
   SELECT u AS src, v AS dst FROM pairs WHERE jaccard >= 0.97 OR sha_equal
   UNION ALL
@@ -281,7 +279,12 @@ cc(node, reach) AS (
   SELECT row_id, row_id FROM norm
   UNION
   SELECT e.dst, c.reach FROM cc c JOIN edges e ON e.src = c.node)
-SELECT node AS row_id, min(reach) AS cluster_id FROM cc GROUP BY node""",
+SELECT node AS row_id, min(reach) AS cluster_id FROM cc GROUP BY node"""
+
+
+@register(
+    "corpus_clusters",
+    _CLUSTERS_SQL,
     "transitive clustering: distributed union-find vs a recursive-CTE oracle",
 )
 def corpus_clusters(sf_dir: str) -> ray.data.Dataset:
@@ -308,6 +311,54 @@ def corpus_clusters(sf_dir: str) -> ray.data.Dataset:
         }),
         batch_format="pyarrow",
     )
+
+
+#: the flagship's cluster-id convention differs from corpus_clusters': the
+#: canonical id is min(content_sha256) over the component's members (stable
+#: under row_id re-derivation; FIXTURES.md §3), singletons = own sha.
+_LINKAGE_CLUSTERS_SQL = (
+    _PAIR_CTE.replace("WITH corpus", "WITH RECURSIVE corpus") + """,
+edges AS (
+  SELECT u AS src, v AS dst FROM pairs WHERE jaccard >= 0.97 OR sha_equal
+  UNION ALL
+  SELECT v, u FROM pairs WHERE jaccard >= 0.97 OR sha_equal),
+cc(node, reach) AS (
+  SELECT row_id, row_id FROM norm
+  UNION
+  SELECT e.dst, c.reach FROM cc c JOIN edges e ON e.src = c.node),
+m AS (SELECT node, min(reach) AS rep FROM cc GROUP BY node),
+canon AS (
+  SELECT m.rep, min(n.content_sha256) AS cid
+  FROM m JOIN norm n ON n.row_id = m.node GROUP BY m.rep)
+SELECT m.node AS row_id, c.cid AS cluster_id
+FROM m JOIN canon c ON c.rep = m.rep"""
+)
+
+
+@register(
+    "corpus_linkage_clusters",
+    _LINKAGE_CLUSTERS_SQL,
+    "the REAL flagship (link_corpus: LSH blocking → salted shuffle → "
+    "candidates → verify → union-find → assign) in verify_mode='exact', vs "
+    "the same recursive-CTE oracle as corpus_clusters. Exact verify makes "
+    "the edge predicate SQL-expressible (round-6 token-set Jaccard ≥ 0.97; "
+    "sha_equal pairs have identical token sets so J = 1.0 subsumes the OR "
+    "branch); candidate recall at this operating point is the LSH band "
+    "guarantee — exact dups share every band key, and near-dups at "
+    "J ≥ 0.97 miss all 16 bands w.p. ≲ 1e-4 per pair and are additionally "
+    "caught by the (lang, stem) key family — so the verified edge set "
+    "CONNECTS every oracle component and min-label clustering agrees",
+)
+def corpus_linkage_clusters(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.config import PipelineConfig
+    from localhost_address_matching_ray.pipelines.linkage import link_corpus
+
+    cfg = PipelineConfig(
+        jaccard_threshold=0.97,
+        rename_jaccard_floor=0.97,  # == threshold: stem-JW assist band empty
+        verify_mode="exact",
+    )
+    return link_corpus(corpus_from_documents(sf_dir), cfg)["clusters"]
 
 
 # --------------------------------------------------------------------------

@@ -276,8 +276,26 @@ class _PayloadEmitter:
                 .astype(np.uint64).reshape(-1, 2)
             )
             sigp, sigp2 = sp16[:, 0], sp16[:, 1]
+            # sigf: one uint64 FNV-style fold of the ENTIRE sig8 vector.
+            # The pair stage's exact-duplicate chain skip needs "same full
+            # signature", not "same 16-byte prefix": on vocab-sharing
+            # corpora whole blocks share sigp/sigp2 while their full sigs
+            # differ, and a prefix-based skip suppressed real candidates
+            # (the chain edges between interleaved non-dups fail verify,
+            # splintering true clusters — caught by the
+            # corpus_linkage_clusters oracle).
+            w8 = (num_perm // 8) * 8
+            words = np.ascontiguousarray(s8[:, :w8]).view(np.uint64)
+            sigf = np.full(n_rows, 0x9E3779B97F4A7C15, np.uint64)
+            prime = np.uint64(0x100000001B3)
+            for j in range(words.shape[1]):
+                sigf = (sigf ^ words[:, j]) * prime
+            if num_perm != w8:
+                tail = np.zeros((n_rows, 8), np.uint8)
+                tail[:, : num_perm - w8] = s8[:, w8:]
+                sigf = (sigf ^ tail.view(np.uint64)[:, 0]) * prime
         else:
-            sigp = sigp2 = np.empty(0, np.uint64)
+            sigp = sigp2 = sigf = np.empty(0, np.uint64)
         multi = self.multi
         if multi is not None and len(kh):
             # singleton-block suppression: only keys the exact census saw
@@ -323,6 +341,7 @@ class _PayloadEmitter:
             "rid": pa.array(rids[i_arr], pa.uint64()),
             "sigp": pa.array(sigp[i_arr], pa.uint64()),
             "sigp2": pa.array(sigp2[i_arr], pa.uint64()),
+            "sigf": pa.array(sigf[i_arr], pa.uint64()),
         })
 
 

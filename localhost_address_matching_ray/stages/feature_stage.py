@@ -187,6 +187,38 @@ class FeatureExtractor:
                 out[j_global] = th_kept[offs[j_local] : offs[j_local + 1]]
         return out
 
+    def _batch_raw_token_sets(self, content_col) -> tuple[np.ndarray, np.ndarray]:
+        """Per-row SORTED-UNIQUE uint64 token hashes of the RAW normalized
+        content as ``(flat row-major values, per-row lengths)``, for
+        ``config.verify_mode == "exact"``.
+
+        The set matches the SQL spec ``list_distinct(string_split(norm, ' '))``
+        exactly (the corpus_linkage_clusters oracle): no comment strip, no
+        stop strip, and ``split_pattern('', ' ') == ['']`` keeps the empty
+        token for empty content — unlike the shingle path, whose tokens
+        feed a similarity SKETCH and may drop noise. Hashes are the same
+        sha256-prefix family the SimHash oracle casts in SQL."""
+        import pyarrow.compute as pc
+
+        if isinstance(content_col, pa.ChunkedArray):
+            content_col = content_col.combine_chunks()
+        n = len(content_col)
+        if n == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.int64)
+        norm = normalize_content_arrow(pc.fill_null(content_col, ""))
+        tok_list = pc.split_pattern(norm, pattern=" ")
+        th = self.token_hasher.hash_token_array(pc.list_flatten(tok_list))
+        lengths = pc.list_value_length(tok_list).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        row_of = np.repeat(np.arange(n), lengths)
+        o = np.lexsort((th, row_of))
+        r2, t2 = row_of[o], th[o]
+        keep = np.concatenate(
+            ([True], (r2[1:] != r2[:-1]) | (t2[1:] != t2[:-1]))
+        ) if len(r2) else np.empty(0, bool)
+        return t2[keep], np.bincount(r2[keep], minlength=n).astype(np.int64)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         langs = batch["lang"].to_pylist()
         k_default = self.config.shingle_k
@@ -198,19 +230,31 @@ class FeatureExtractor:
 
         n = len(langs)
         th_list = self._batch_token_hashes(batch["content"], langs)
+        # exact mode: the MinHash signature (and thus every band key and the
+        # sig8 screen) is built over the SAME set the verifier measures — the
+        # raw normalized token-hash set — so the LSH recall guarantee applies
+        # to the exact edge predicate verbatim: a J ≥ 0.97 pair misses all
+        # 16 bands w.p. (1 − 0.97⁸)¹⁶ ≈ 2e-11, and set-identical rows
+        # (J = 1, even token PERMUTATIONS) get bit-identical signatures.
+        # Estimate mode keeps the order-sensitive k-token shingles — the
+        # sharper similarity for code near-dup detection at scale.
+        exact = self.config.verify_mode == "exact"
+        if exact:
+            raw_vals, raw_lens = self._batch_raw_token_sets(batch["content"])
         sh_list: list[np.ndarray] = []
         n_tok = np.empty(n, dtype=np.int64)
-        n_shingles = np.empty(n, dtype=np.int64)
+        n_shingles = raw_lens if exact else np.empty(n, dtype=np.int64)
         lang_salts = np.empty(n, dtype=np.uint64)
         stem_keys = np.zeros(n, dtype=np.uint64)
         has_stem = np.zeros(n, dtype=bool)
         salt_cache = self._lang_salts
         for i, (th, lg, st) in enumerate(zip(th_list, langs, stems)):
-            lc = self.lang_configs.get(lg)
-            k = lc.shingle_k if lc is not None else k_default
-            sh = shingle_hashes_from(th, k)
-            sh_list.append(sh)
-            n_shingles[i] = len(sh)
+            if not exact:
+                lc = self.lang_configs.get(lg)
+                k = lc.shingle_k if lc is not None else k_default
+                sh = shingle_hashes_from(th, k)
+                sh_list.append(sh)
+                n_shingles[i] = len(sh)
             salt = salt_cache.get(lg)
             if salt is None:
                 d = sha1(f"L|{lg}|".encode()).digest()
@@ -224,7 +268,10 @@ class FeatureExtractor:
         # MinHash signatures for the whole batch over the concatenated
         # shingle stream: OPH (one binning pass) or classic (one reduceat
         # pass per cache-sized slab), per config.minhash_mode
-        flat_sh = np.concatenate(sh_list) if sh_list else np.empty(0, np.uint64)
+        if exact:
+            flat_sh = raw_vals
+        else:
+            flat_sh = np.concatenate(sh_list) if sh_list else np.empty(0, np.uint64)
         if self.config.effective_minhash_mode == "oph":
             sig_mat = self.minhasher.oph_signature_batch(flat_sh, n_shingles)
         else:
@@ -272,7 +319,7 @@ class FeatureExtractor:
         sig8_col = u8_matrix_to_binary(sig8_mat) if n else pa.array([], pa.binary())
 
         out = batch.select([c for c in KEEP_COLUMNS if c in batch.column_names])
-        return (
+        out = (
             out
             .append_column("sig", sig_col)
             .append_column("sig8", sig8_col)
@@ -280,6 +327,15 @@ class FeatureExtractor:
             .append_column("simhash", pa.array(simhashes, pa.uint64()))
             .append_column("n_tokens_sig", pa.array(n_tok, pa.int64()))
         )
+        if exact:
+            # exact-verify payload (the signature's own basis set): never
+            # rides the blocking shuffle (the emitter selects
+            # row_id/sig8/block_hashes only) and never reaches a join
+            # (rows_view selects KEEP_COLUMNS)
+            out = out.append_column(
+                "tok64", u64_rows_to_list_array(raw_vals, raw_lens)
+            )
+        return out
 
 
 #: per-worker-process extractor cache for the task-based path: state is
@@ -294,6 +350,7 @@ def _config_cache_key(config: PipelineConfig) -> tuple:
     return (
         config.num_perm, config.minhash_mode, config.lsh_bands,
         config.shingle_k, config.pipeline_version, config.extra_rules,
+        config.verify_mode,
         tuple(sorted(config.lang_configs.items())),
     )
 

@@ -116,6 +116,13 @@ def _candidate_pairs_factory(config: PipelineConfig):
     window = config.candidate_window
     screen_min = config.screen_min_matches
     screen_cap = config.screen_degree_cap
+    # The off>1 / screen "already chain-connected" skip is only sound when
+    # signature equality GUARANTEES the chain edges verify: in estimate
+    # mode an equal-sigf run scores est = 1.0 end to end, so skipping its
+    # off>1 pairs loses nothing. In exact mode equal signatures do NOT
+    # imply token-set equality (shared-vocab corpora collide whole OPH
+    # lanes), so every window offset is emitted.
+    skip_dup_runs = config.verify_mode != "exact"
 
     def pairs_bucket(group: pa.Table) -> pa.Table:
         """One 64-way bucket of block rows → candidate pairs.
@@ -145,16 +152,21 @@ def _candidate_pairs_factory(config: PipelineConfig):
         kh = group["block_key"].to_numpy(zero_copy_only=False)
         sigp = group["sigp"].to_numpy(zero_copy_only=False)
         sigp2 = group["sigp2"].to_numpy(zero_copy_only=False)
+        sigf = group["sigf"].to_numpy(zero_copy_only=False)
         # rid is the uint64 view of the 16-hex row_id (blocking emits it
         # pre-converted so the string never rides the blocking shuffle)
         ids = group["rid"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, sigp, kh))
         kh = kh[order]; ids = ids[order]; sigp = sigp[order]; sigp2 = sigp2[order]
+        sigf = sigf[order]
         chunks: list[np.ndarray] = []
         for off in range(1, min(window, n - 1) + 1):
             same = kh[:-off] == kh[off:]
-            if off > 1:
-                same = same & (sigp[:-off] != sigp[off:])
+            if off > 1 and skip_dup_runs:
+                # skip only FULL-signature-equal runs (est = 1.0, chain
+                # verifies at any threshold) — a 16-byte prefix match is
+                # not enough (see _PayloadEmitter.sigf)
+                same = same & (sigf[:-off] != sigf[off:])
             if not same.any():
                 continue
             a, b = ids[:-off][same], ids[off:][same]
@@ -175,7 +187,7 @@ def _candidate_pairs_factory(config: PipelineConfig):
             B = np.ascontiguousarray(
                 np.stack([sigp[s:e], sigp2[s:e]], axis=1)
             ).view(np.uint8).reshape(k, 16)
-            sp = sigp[s:e]; sp2 = sigp2[s:e]
+            sf_ = sigf[s:e]
             pos = np.arange(k)
             # row-chunked so the (chunk, k, 16) broadcast stays small
             for c0 in range(0, k, 256):
@@ -186,12 +198,10 @@ def _candidate_pairs_factory(config: PipelineConfig):
                 m = eq >= screen_min
                 # only beyond the window pass's reach, upper triangle
                 m &= (pos[None, :] - pos[c0:c1, None]) > window
-                # equal-16-byte runs are chain-connected already
-                full = (
-                    (sp[c0:c1, None] == sp[None, :])
-                    & (sp2[c0:c1, None] == sp2[None, :])
-                )
-                m &= ~full
+                if skip_dup_runs:
+                    # FULL-signature-equal runs are chain-connected
+                    # already (est = 1.0 ⇒ every chain edge verifies)
+                    m &= sf_[c0:c1, None] != sf_[None, :]
                 # tight degree cap: first `screen_cap` screened partners
                 m &= np.cumsum(m, axis=1) <= screen_cap
                 ii, jj = np.nonzero(m)
@@ -339,6 +349,133 @@ def _verify_broadcast(
     bundle_ref = ray.put((ids, sigs, stems))
     return pairs.map_batches(
         _scorer_factory(bundle_ref, config),
+        batch_format="pyarrow", batch_size=16384,
+    )
+
+
+def _exact_scorer_factory(bundle_ref, config: PipelineConfig):
+    """Exact token-set Jaccard scorer over the broadcast
+    (ids, offsets, flat token hashes, stems) bundle — the
+    ``verify_mode="exact"`` analog of :func:`_scorer_factory`. Each row's
+    hashes are sorted-unique, so after one lexsort of the gathered
+    (pair, value) stream, adjacent equal values within a pair count the
+    intersection (stages/docs_ops.py kernel). The score is the
+    DuckDB-rounded Jaccard, so the edge predicate matches the
+    corpus_linkage_clusters SQL oracle bit-for-bit."""
+    from localhost_address_matching_ray.functions.similarity import duckdb_round
+
+    threshold = config.jaccard_threshold
+    floor = config.rename_jaccard_floor
+    stem_thr = config.stem_sim_threshold
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(_EMPTY_SCORED)
+        key = bundle_ref.hex()
+        bundle = _PROCESS_BUNDLES.get(key)
+        if bundle is None:
+            _PROCESS_BUNDLES.clear()
+            bundle = _PROCESS_BUNDLES[key] = ray.get(bundle_ref)
+        ids, offs, flat, stems = bundle
+        pu = batch["pu"].to_numpy(zero_copy_only=False)
+        pv = batch["pv"].to_numpy(zero_copy_only=False)
+        iu = np.minimum(np.searchsorted(ids, pu), len(ids) - 1)
+        iv = np.minimum(np.searchsorted(ids, pv), len(ids) - 1)
+        hit = (ids[iu] == pu) & (ids[iv] == pv)
+        if not hit.all():
+            pu, pv, iu, iv = pu[hit], pv[hit], iu[hit], iv[hit]
+            if len(pu) == 0:
+                return pa.table(_EMPTY_SCORED)
+        n_pairs = len(pu)
+        lu = offs[iu + 1] - offs[iu]
+        lv = offs[iv + 1] - offs[iv]
+
+        def gather_side(ii: np.ndarray, ll: np.ndarray) -> np.ndarray:
+            tot = int(ll.sum())
+            outs = np.concatenate(([0], np.cumsum(ll)[:-1]))
+            return flat[
+                np.repeat(offs[ii] - outs, ll) + np.arange(tot, dtype=np.int64)
+            ]
+
+        seg = np.concatenate((np.repeat(np.arange(n_pairs), lu),
+                              np.repeat(np.arange(n_pairs), lv)))
+        val = np.concatenate((gather_side(iu, lu), gather_side(iv, lv)))
+        o = np.lexsort((val, seg))
+        seg, val = seg[o], val[o]
+        dup = (seg[1:] == seg[:-1]) & (val[1:] == val[:-1])
+        inter = np.bincount(seg[1:][dup], minlength=n_pairs)
+        union = lu + lv - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            est = duckdb_round(
+                np.where(union > 0, inter / np.maximum(union, 1), 1.0), 6
+            )
+        accept = est >= threshold
+        assist = np.flatnonzero((~accept) & (est >= floor))
+        for i in assist:
+            if jaro_winkler(stems[iu[i]].as_py(), stems[iv[i]].as_py()) >= stem_thr:
+                accept[i] = True
+        keep = np.flatnonzero(accept)
+        return pa.table({
+            "pu": pa.array(pu[keep], pa.uint64()),
+            "pv": pa.array(pv[keep], pa.uint64()),
+            "score": pa.array(est[keep], pa.float64()),
+        })
+
+    return score
+
+
+def _verify_broadcast_exact(
+    pairs: ray.data.Dataset, features: ray.data.Dataset,
+    involved: "np.ndarray | None", config: PipelineConfig,
+) -> ray.data.Dataset:
+    """Exact-mode verify fetch: broadcast (ids, token-set offsets/values,
+    stems) for involved rows and score pairs by exact Jaccard. The feature
+    stage emits ``tok64`` (sorted-unique uint64 token hashes) only in exact
+    mode, so this path requires ``config.verify_mode == "exact"``."""
+    slim = features.select_columns(["row_id", "tok64", "stem"])
+    if involved is not None:
+        inv_ref = ray.put(involved)
+
+        def fetch(batch: pa.Table) -> pa.Table:
+            keys = ray.get(inv_ref)
+            bids = hex16_col_to_u64(batch["row_id"])
+            if bids is None:
+                bids = _hex16_to_u64(batch["row_id"].to_pylist())
+            pos = np.minimum(np.searchsorted(keys, bids), len(keys) - 1)
+            return batch.filter(pa.array(keys[pos] == bids))
+
+        slim = slim.map_batches(fetch, batch_format="pyarrow", batch_size=8192)
+    tbls = [t for t in ray.get(slim.to_arrow_refs()) if t.num_rows > 0]
+    if not tbls:
+        return ray.data.from_arrow(pa.table(_EMPTY_SCORED))
+    ft = pa.concat_tables(
+        [t.select(["row_id", "tok64", "stem"]) for t in tbls]
+    ).combine_chunks()
+    ids = hex16_col_to_u64(ft["row_id"])
+    if ids is None:
+        ids = _hex16_to_u64(ft["row_id"].to_pylist())
+    col = ft["tok64"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    raw_offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(raw_offs)
+    vals = col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+    starts = raw_offs[:-1]
+    order = np.argsort(ids)
+    lens_s = lens[order]
+    out_starts = np.concatenate(([0], np.cumsum(lens_s)[:-1]))
+    gather = np.repeat(starts[order] - out_starts, lens_s) + np.arange(
+        int(lens_s.sum()), dtype=np.int64
+    )
+    stems = ft["stem"].chunk(0).take(pa.array(order))
+    bundle_ref = ray.put((
+        ids[order],
+        np.concatenate((out_starts, [int(lens_s.sum())])).astype(np.int64),
+        vals[gather],
+        stems,
+    ))
+    return pairs.map_batches(
+        _exact_scorer_factory(bundle_ref, config),
         batch_format="pyarrow", batch_size=16384,
     )
 
@@ -548,17 +685,28 @@ def verify_edges(
     n_pairs = pairs.count()
     if n_pairs == 0:
         return ray.data.from_arrow(pa.table(_EMPTY_EDGES))
+    broadcast = (
+        _verify_broadcast_exact if config.verify_mode == "exact"
+        else _verify_broadcast
+    )
     # when the WHOLE feature table fits the broadcast ceiling, the involved
     # set can't not fit — skip computing it (at the 1M soak involved == all
     # rows and the involved pass cost 3 s of driver wall for a no-op filter)
     n_feat = features.count()
     if n_feat <= config.verify_broadcast_max_rows:
-        scored = _verify_broadcast(pairs, features, None, config)
+        scored = broadcast(pairs, features, None, config)
         return _edges_distinct_hex(scored, config.census_buckets)
     involved = _involved_rows(pairs)
     if len(involved) <= config.verify_broadcast_max_rows:
-        scored = _verify_broadcast(pairs, features, involved, config)
+        scored = broadcast(pairs, features, involved, config)
         return _edges_distinct_hex(scored, config.census_buckets)
+    if config.verify_mode == "exact":
+        raise ValueError(
+            f"verify_mode='exact': {len(involved)} involved rows exceed the "
+            f"broadcast ceiling ({config.verify_broadcast_max_rows}) — exact "
+            "verify ships whole token sets and is bounded by design; use "
+            "verify_mode='estimate' (the scale path) or partition the corpus"
+        )
     logger.info(
         "verify_edges: %d involved rows > broadcast ceiling %d — join path",
         len(involved), config.verify_broadcast_max_rows,

@@ -35,9 +35,10 @@ def _features(rows):
 
 
 def _blocks(pairs_of_ids, equal_sigp: bool = False):
-    """One block per (key, ids) entry. Default: distinct sigp per row (no
-    equal-sigp chain suppression); equal_sigp=True makes every row an
-    "exact dup" for the suppression tests."""
+    """One block per (key, ids) entry. Default: distinct sigp/sigf per row
+    (no dup-run chain suppression); equal_sigp=True makes every row an
+    "exact dup" (equal prefix AND equal full-sig fingerprint) for the
+    suppression tests."""
     ks, ids, sps = [], [], []
     for key, members in pairs_of_ids:
         for j, m in enumerate(members):
@@ -49,12 +50,14 @@ def _blocks(pairs_of_ids, equal_sigp: bool = False):
     # every pair "similar" to the 16-byte screen)
     sp = np.array(sps, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
     sp2 = np.array(sps, dtype=np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+    sf = np.array(sps, dtype=np.uint64) * np.uint64(0xFF51AFD7ED558CCD)
     return ray.data.from_arrow(pa.table({
         "block_key": pa.array(kh, pa.uint64()),
         "bucket": pa.array((kh % np.uint64(64)).astype(np.int32), pa.int32()),
         "rid": pa.array([int(m, 16) for m in ids], pa.uint64()),
         "sigp": pa.array(sp, pa.uint64()),
         "sigp2": pa.array(sp2, pa.uint64()),
+        "sigf": pa.array(sf, pa.uint64()),
     }))
 
 
@@ -152,12 +155,14 @@ def test_screen_recovers_far_similar_pair():
     sp2[n - 1] = sp2[0]
     sp2[0] = sp2[n - 1]
     kh = np.full(n, 4242, dtype=np.uint64)
+    sf = rng.randint(1, 1 << 62, n).astype(np.uint64)  # all full-sigs distinct
     blocks = ray.data.from_arrow(pa.table({
         "block_key": pa.array(kh, pa.uint64()),
         "bucket": pa.array((kh % np.uint64(64)).astype(np.int32), pa.int32()),
         "rid": pa.array([int(m, 16) for m in ids], pa.uint64()),
         "sigp": pa.array(sp, pa.uint64()),
         "sigp2": pa.array(sp2, pa.uint64()),
+        "sigf": pa.array(sf, pa.uint64()),
     }))
     cand = {(r["pu"], r["pv"]) for r in candidate_pairs(blocks, cfg).take_all()}
     a, b = int(ids[0], 16), int(ids[n - 1], 16)
@@ -165,8 +170,10 @@ def test_screen_recovers_far_similar_pair():
 
 
 def test_equal_sigp_chain_suppression():
-    """Rows with identical sigp (exact-dup runs) emit ONLY the spanning
-    chain — connectivity preserved, candidate count linear not quadratic."""
+    """Rows with identical FULL signatures (exact-dup runs: equal sigf, not
+    just the 16-byte prefix) emit ONLY the spanning chain — connectivity
+    preserved, candidate count linear not quadratic. Prefix-only collisions
+    keep their window candidates (test_exact_verify covers that side)."""
     cfg = PipelineConfig()
     n = 30
     members = [_rid(i) for i in range(n)]
