@@ -108,9 +108,10 @@ class PipelineConfig:
     #   (sorted-unique uint64 per row, intersected with one vectorized
     #   lexsort pass per batch — the stages/docs_ops.py kernel). Maximum
     #   precision, SQL-expressible edge predicate (the corpus_linkage_clusters
-    #   oracle), at the cost of shipping token sets instead of signatures;
-    #   bounded by verify_broadcast_max_rows (beyond it, estimate mode is
-    #   the scale path).
+    #   oracle), at the cost of shipping token sets instead of signatures.
+    #   Above verify_broadcast_max_rows involved rows the fetch switches to
+    #   partitioned hash joins of binary-packed token sets (the same
+    #   candidates-then-verify shape as estimate mode's join path).
     jaccard_threshold: float = 0.60   # shingle-Jaccard edge threshold (non-dups score ~0, minor edits ~0.7+)
     stem_sim_threshold: float = 0.90  # Jaro-Winkler path-stem assist threshold:
                                       # pairs below jaccard_threshold but at/above

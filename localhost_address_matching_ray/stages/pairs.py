@@ -480,6 +480,131 @@ def _verify_broadcast_exact(
     )
 
 
+def _tok_list_to_binary(col) -> pa.Array:
+    """``list<uint64>`` token-set column → variable-width ``binary`` (the
+    u64s' native bytes), built from buffers with no per-row Python. Binary
+    columns ride Arrow hash joins; list columns are rejected as non-key
+    fields — this is what lets exact-mode verify scale past the broadcast
+    ceiling."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+    base = offs[0]  # sliced arrays: offsets are absolute into values
+    rel = ((offs - base) * 8).astype(np.int32)
+    data = np.ascontiguousarray(vals[base:offs[-1]]).view(np.uint8)
+    return pa.Array.from_buffers(
+        pa.binary(), len(col),
+        [None, pa.py_buffer(rel), pa.py_buffer(data)],
+    )
+
+
+def _binary_u64_parts(col) -> tuple[np.ndarray, np.ndarray]:
+    """Variable-width binary column of packed u64s → (row offsets in u64
+    units, flat u64 values), zero-copy off the Arrow buffers; fails loudly
+    if any value's width is not a multiple of 8 (token sets are whole
+    u64s by construction — drift means a schema bug, not data)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bufs = col.buffers()
+    off_b = np.frombuffer(bufs[1], dtype=np.int32)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    if np.any(np.diff(off_b) % 8):
+        raise ValueError(
+            "packed token-set width drift: a binary value is not a whole "
+            "number of uint64s — tok64 packing / schema mismatch"
+        )
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    start = off_b[0]
+    flat = np.ascontiguousarray(data[start : off_b[-1]]).view(np.uint64)
+    return (off_b - start) // 8, flat
+
+
+def _verify_join_exact(
+    pairs: ray.data.Dataset, features: ray.data.Dataset, config: PipelineConfig,
+) -> ray.data.Dataset:
+    """Exact-mode scale fallback (above the broadcast ceiling): two
+    partitioned hash joins fetch each endpoint's packed token set + stem,
+    then one vectorized lexsort-intersection pass per batch scores the
+    exact Jaccard — the same kernel as the broadcast path, with the token
+    sets arriving via the join instead of the object store."""
+    from localhost_address_matching_ray.functions.similarity import duckdb_round
+    from localhost_address_matching_ray.stages.cluster import _JOIN_ARGS, _partitions_for
+
+    def to_u64_keyed(t: pa.Table) -> pa.Table:
+        rid = hex16_col_to_u64(t["row_id"])
+        if rid is None:
+            rid = _hex16_to_u64(t["row_id"].to_pylist())
+        return pa.table({
+            "rid_u64": pa.array(rid, pa.uint64()),
+            "tokb": _tok_list_to_binary(t["tok64"]),
+            "stem": t["stem"],
+        })
+
+    slim = features.select_columns(["row_id", "tok64", "stem"]).map_batches(
+        to_u64_keyed, batch_format="pyarrow",
+    ).materialize()
+    parts = _partitions_for(max(pairs.count(), 1))
+    j1 = pairs.join(
+        slim, join_type="inner", num_partitions=parts,
+        on=("pu",), right_on=("rid_u64",), **_JOIN_ARGS,
+    ).map_batches(
+        lambda t: pa.table({
+            "pu": t["pu"], "pv": t["pv"], "tok_u": t["tokb"], "stem_u": t["stem"],
+        }),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(
+        slim, join_type="inner", num_partitions=parts,
+        on=("pv",), right_on=("rid_u64",), **_JOIN_ARGS,
+    )
+
+    threshold = config.jaccard_threshold
+    floor = config.rename_jaccard_floor
+    stem_thr = config.stem_sim_threshold
+
+    def score(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(_EMPTY_EDGES)
+        offu, valu = _binary_u64_parts(t["tok_u"])
+        offv, valv = _binary_u64_parts(t["tokb"])
+        lu, lv = np.diff(offu), np.diff(offv)
+        # each side's values are already row-major in joined order — one
+        # concatenated (pair, value) stream, lexsort, adjacent-equal count
+        seg = np.concatenate((np.repeat(np.arange(n), lu),
+                              np.repeat(np.arange(n), lv)))
+        val = np.concatenate((valu, valv))
+        o = np.lexsort((val, seg))
+        seg_s, val_s = seg[o], val[o]
+        dup = (seg_s[1:] == seg_s[:-1]) & (val_s[1:] == val_s[:-1])
+        inter = np.bincount(seg_s[1:][dup], minlength=n)
+        union = lu + lv - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            est = duckdb_round(
+                np.where(union > 0, inter / np.maximum(union, 1), 1.0), 6
+            )
+        accept = est >= threshold
+        assist = np.flatnonzero((~accept) & (est >= floor))
+        if len(assist):
+            stem_u = t["stem_u"]
+            stem_v = t["stem"]
+            for i in assist:
+                if jaro_winkler(stem_u[i].as_py(), stem_v[i].as_py()) >= stem_thr:
+                    accept[i] = True
+        keep = np.flatnonzero(accept)
+        pu = t["pu"].to_numpy(zero_copy_only=False)[keep]
+        pv = t["pv"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "u": pa.array(_u64_to_hex(pu), pa.string()),
+            "v": pa.array(_u64_to_hex(pv), pa.string()),
+            "score": pa.array(est[keep], pa.float64()),
+        })
+
+    return j2.map_batches(score, batch_format="pyarrow")
+
+
 def _verify_join(
     pairs: ray.data.Dataset, features: ray.data.Dataset, config: PipelineConfig,
 ) -> ray.data.Dataset:
@@ -700,18 +825,13 @@ def verify_edges(
     if len(involved) <= config.verify_broadcast_max_rows:
         scored = broadcast(pairs, features, involved, config)
         return _edges_distinct_hex(scored, config.census_buckets)
-    if config.verify_mode == "exact":
-        raise ValueError(
-            f"verify_mode='exact': {len(involved)} involved rows exceed the "
-            f"broadcast ceiling ({config.verify_broadcast_max_rows}) — exact "
-            "verify ships whole token sets and is bounded by design; use "
-            "verify_mode='estimate' (the scale path) or partition the corpus"
-        )
     logger.info(
         "verify_edges: %d involved rows > broadcast ceiling %d — join path",
         len(involved), config.verify_broadcast_max_rows,
     )
     distinct = _distinct_pairs_shuffle(pairs, config.census_buckets)
+    if config.verify_mode == "exact":
+        return _verify_join_exact(distinct, features, config)
     return _verify_join(distinct, features, config)
 
 

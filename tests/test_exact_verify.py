@@ -137,10 +137,33 @@ def test_exact_linkage_equals_brute_force(small_fixture_tables):
     assert got == want
 
 
-def test_exact_verify_ceiling_fails_fast(small_fixture_tables):
+def test_exact_join_path_matches_broadcast(small_fixture_tables):
+    """Above the broadcast ceiling exact mode fetches token sets via
+    partitioned hash joins (binary-packed u64 sets) — the clusters must be
+    identical to the broadcast path's."""
     corpus = ray.data.from_arrow(small_fixture_tables["corpus"])
-    with pytest.raises(ValueError, match="broadcast ceiling"):
-        link_corpus(corpus, _cfg(verify_broadcast_max_rows=3))
+    via_join = link_corpus(corpus, _cfg(verify_broadcast_max_rows=3))
+    got = {r["row_id"]: r["cluster_id"] for r in via_join["clusters"].take_all()}
+    want = _brute_clusters(small_fixture_tables["corpus"], 0.97)
+    assert got == want
+
+
+def test_tok_binary_pack_roundtrip():
+    """list<uint64> → packed binary → (offsets, flat u64) round-trips,
+    including sliced columns (absolute list offsets) and empty sets."""
+    from localhost_address_matching_ray.stages.pairs import (
+        _binary_u64_parts,
+        _tok_list_to_binary,
+    )
+
+    lists = [[1, 5, 9], [], [2 ** 63, 7], [42]]
+    col = pa.array(lists, pa.list_(pa.uint64()))
+    offs, flat = _binary_u64_parts(_tok_list_to_binary(col))
+    got = [flat[offs[i]:offs[i + 1]].tolist() for i in range(len(lists))]
+    assert got == lists
+    offs2, flat2 = _binary_u64_parts(_tok_list_to_binary(col.slice(1, 2)))
+    got2 = [flat2[offs2[i]:offs2[i + 1]].tolist() for i in range(2)]
+    assert got2 == lists[1:3]
 
 
 def test_verify_mode_validated():
