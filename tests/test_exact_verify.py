@@ -148,6 +148,19 @@ def test_exact_join_path_matches_broadcast(small_fixture_tables):
     assert got == want
 
 
+def test_exact_mode_checkpoint_resume(small_fixture_tables, tmp_path):
+    """tok64 (list<uint64>) must survive the Parquet checkpoint round-trip:
+    the resumed run reads features back from disk and its verify bundle is
+    built off the re-read column's offsets/values buffers."""
+    corpus = ray.data.from_arrow(small_fixture_tables["corpus"])
+    cfg = _cfg(checkpoint_dir=str(tmp_path))
+    c1 = link_corpus(corpus, cfg, input_fingerprint="f1")["clusters"]
+    m1 = {r["row_id"]: r["cluster_id"] for r in c1.take_all()}
+    c2 = link_corpus(corpus, cfg, input_fingerprint="f1")["clusters"]
+    m2 = {r["row_id"]: r["cluster_id"] for r in c2.take_all()}
+    assert m1 == m2 and len(m1) == small_fixture_tables["corpus"].num_rows
+
+
 def test_tok_binary_pack_roundtrip():
     """list<uint64> → packed binary → (offsets, flat u64) round-trips,
     including sliced columns (absolute list offsets) and empty sets."""
