@@ -153,6 +153,16 @@ class PipelineConfig:
     verify_broadcast_max_rows: int = 2_000_000  # candidate-involved rows ≤ →
                                                 # broadcast sig fetch; above →
                                                 # partitioned hash-join fetch
+    exact_broadcast_max_tokens: int = 64_000_000  # verify_mode="exact" only:
+                                                  # the broadcast bundle holds
+                                                  # whole token SETS (8 B each,
+                                                  # 64M ≈ 512 MB flat), so the
+                                                  # row ceiling alone — tuned
+                                                  # for 128 B/row signatures —
+                                                  # could admit a multi-GB
+                                                  # bundle; above this token
+                                                  # volume the fetch goes via
+                                                  # partitioned hash joins
     pairs_collect_max: int = 80_000_000  # LEGACY (round 2): candidate pairs
                                          # are no longer collected to the
                                          # driver at all — duplicates are

@@ -112,6 +112,19 @@ def _u64_to_hex(vals: np.ndarray) -> list[str]:
     return [format(int(v), "016x") for v in vals]
 
 
+def _intersection_counts(
+    seg: np.ndarray, val: np.ndarray, n_pairs: int
+) -> np.ndarray:
+    """|A ∩ B| per pair from one concatenated (pair, value) stream where
+    each side's values are unique within its pair: one lexsort, adjacent
+    equal values inside a pair count the intersection (the shared kernel of
+    both exact-verify scorers; stages/docs_ops.py uses the same shape)."""
+    o = np.lexsort((val, seg))
+    seg_s, val_s = seg[o], val[o]
+    dup = (seg_s[1:] == seg_s[:-1]) & (val_s[1:] == val_s[:-1])
+    return np.bincount(seg_s[1:][dup], minlength=n_pairs)
+
+
 def _candidate_pairs_factory(config: PipelineConfig):
     window = config.candidate_window
     screen_min = config.screen_min_matches
@@ -156,7 +169,13 @@ def _candidate_pairs_factory(config: PipelineConfig):
         # rid is the uint64 view of the 16-hex row_id (blocking emits it
         # pre-converted so the string never rides the blocking shuffle)
         ids = group["rid"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, sigp, kh))
+        # sigf is IN the sort key (between sigp and ids): the off>1 skip
+        # reasons about runs of equal full signatures, which are only runs
+        # if the sort makes them contiguous — with sigp-only ordering, two
+        # equal-sig rows interleaved with a same-prefix different-sig row
+        # would have their (guaranteed-est-1.0) off=2 pair skipped while
+        # both chain edges fail verify, splintering the cluster
+        order = np.lexsort((ids, sigf, sigp, kh))
         kh = kh[order]; ids = ids[order]; sigp = sigp[order]; sigp2 = sigp2[order]
         sigf = sigf[order]
         chunks: list[np.ndarray] = []
@@ -400,10 +419,7 @@ def _exact_scorer_factory(bundle_ref, config: PipelineConfig):
         seg = np.concatenate((np.repeat(np.arange(n_pairs), lu),
                               np.repeat(np.arange(n_pairs), lv)))
         val = np.concatenate((gather_side(iu, lu), gather_side(iv, lv)))
-        o = np.lexsort((val, seg))
-        seg, val = seg[o], val[o]
-        dup = (seg[1:] == seg[:-1]) & (val[1:] == val[:-1])
-        inter = np.bincount(seg[1:][dup], minlength=n_pairs)
+        inter = _intersection_counts(seg, val, n_pairs)
         union = lu + lv - inter
         with np.errstate(divide="ignore", invalid="ignore"):
             est = duckdb_round(
@@ -491,6 +507,11 @@ def _tok_list_to_binary(col) -> pa.Array:
     offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     vals = col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
     base = offs[0]  # sliced arrays: offsets are absolute into values
+    if (offs[-1] - base) * 8 > np.iinfo(np.int32).max:
+        raise ValueError(
+            "packed token-set batch exceeds int32 binary offsets "
+            f"({(offs[-1] - base) * 8} bytes) — lower the batch size"
+        )
     rel = ((offs - base) * 8).astype(np.int32)
     data = np.ascontiguousarray(vals[base:offs[-1]]).view(np.uint8)
     return pa.Array.from_buffers(
@@ -576,10 +597,7 @@ def _verify_join_exact(
         seg = np.concatenate((np.repeat(np.arange(n), lu),
                               np.repeat(np.arange(n), lv)))
         val = np.concatenate((valu, valv))
-        o = np.lexsort((val, seg))
-        seg_s, val_s = seg[o], val[o]
-        dup = (seg_s[1:] == seg_s[:-1]) & (val_s[1:] == val_s[:-1])
-        inter = np.bincount(seg_s[1:][dup], minlength=n)
+        inter = _intersection_counts(seg, val, n)
         union = lu + lv - inter
         with np.errstate(divide="ignore", invalid="ignore"):
             est = duckdb_round(
@@ -759,6 +777,24 @@ def _edges_distinct_hex(scored: ray.data.Dataset, buckets: int) -> ray.data.Data
     )
 
 
+def _tok64_volume(features: ray.data.Dataset) -> int:
+    """Total token count of the tok64 column (one narrow distributed pass —
+    per-block list-offset spans summed on the driver)."""
+
+    def cnt(t: pa.Table) -> pa.Table:
+        col = t["tok64"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        n = int(offs[-1] - offs[0]) if len(offs) else 0
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    out = features.select_columns(["tok64"]).map_batches(
+        cnt, batch_format="pyarrow"
+    ).sum("n")
+    return int(out or 0)
+
+
 def _involved_rows(pairs: ray.data.Dataset) -> np.ndarray:
     """Sorted unique endpoint ids of the candidate stream, computed with a
     distributed per-block unique first — the driver merges per-block unique
@@ -810,27 +846,33 @@ def verify_edges(
     n_pairs = pairs.count()
     if n_pairs == 0:
         return ray.data.from_arrow(pa.table(_EMPTY_EDGES))
-    broadcast = (
-        _verify_broadcast_exact if config.verify_mode == "exact"
-        else _verify_broadcast
+    exact = config.verify_mode == "exact"
+    broadcast = _verify_broadcast_exact if exact else _verify_broadcast
+    # exact bundles carry whole token sets, not 128 B signatures — the row
+    # ceiling alone could admit a multi-GB driver collect, so gate the
+    # broadcast on total token volume too (one narrow pass over the
+    # materialized features)
+    broadcast_ok = (not exact) or (
+        _tok64_volume(features) <= config.exact_broadcast_max_tokens
     )
     # when the WHOLE feature table fits the broadcast ceiling, the involved
     # set can't not fit — skip computing it (at the 1M soak involved == all
     # rows and the involved pass cost 3 s of driver wall for a no-op filter)
     n_feat = features.count()
-    if n_feat <= config.verify_broadcast_max_rows:
-        scored = broadcast(pairs, features, None, config)
-        return _edges_distinct_hex(scored, config.census_buckets)
-    involved = _involved_rows(pairs)
-    if len(involved) <= config.verify_broadcast_max_rows:
-        scored = broadcast(pairs, features, involved, config)
-        return _edges_distinct_hex(scored, config.census_buckets)
+    if broadcast_ok:
+        if n_feat <= config.verify_broadcast_max_rows:
+            scored = broadcast(pairs, features, None, config)
+            return _edges_distinct_hex(scored, config.census_buckets)
+        involved = _involved_rows(pairs)
+        if len(involved) <= config.verify_broadcast_max_rows:
+            scored = broadcast(pairs, features, involved, config)
+            return _edges_distinct_hex(scored, config.census_buckets)
     logger.info(
-        "verify_edges: %d involved rows > broadcast ceiling %d — join path",
-        len(involved), config.verify_broadcast_max_rows,
+        "verify_edges: broadcast ceiling exceeded (rows or token volume) — "
+        "join path",
     )
     distinct = _distinct_pairs_shuffle(pairs, config.census_buckets)
-    if config.verify_mode == "exact":
+    if exact:
         return _verify_join_exact(distinct, features, config)
     return _verify_join(distinct, features, config)
 

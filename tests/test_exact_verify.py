@@ -212,3 +212,16 @@ def test_shared_prefix_runs_still_emit_window_candidates():
     g_dup = g.set_column(3, "sigf", pa.array([100] * n, pa.uint64()))
     got_dup = set(zip(*(c.to_pylist() for c in fn(g_dup).columns)))
     assert got_dup == {(i, i + 1) for i in range(1, n)}
+    # interleaving regression: two equal-full-sig rows separated in id order
+    # by a same-prefix DIFFERENT-sig row — the skip must not suppress their
+    # (guaranteed-est-1.0) pair, so sigf is part of the sort key and the
+    # equal-sigf run is contiguous with its chain edge emitted
+    g_mix = pa.table({
+        "block_key": pa.array([7] * 3, pa.uint64()),
+        "sigp": pa.array([11] * 3, pa.uint64()),
+        "sigp2": pa.array([22] * 3, pa.uint64()),
+        "sigf": pa.array([100, 200, 100], pa.uint64()),
+        "rid": pa.array([1, 2, 3], pa.uint64()),
+    })
+    got_mix = set(zip(*(c.to_pylist() for c in fn(g_mix).columns)))
+    assert (1, 3) in got_mix, got_mix
