@@ -1186,6 +1186,27 @@ def multimodal_media_features(sf_dir: str) -> ray.data.Dataset:
     return extract_media_features(media)
 
 
+@register("multimodal_resize_frames", None,
+          "multimodal resize (REAL pure-numpy netpbm path) + video frame "
+          "sampling (row-expanding actor stage; codec decode honestly "
+          "stubbed) — features over the resized stream")
+def multimodal_resize_frames(sf_dir: str) -> ray.data.Dataset:
+    import os
+    import pyarrow.parquet as pq
+
+    from localhost_address_matching_ray.stages.multimodal import (
+        extract_media_features,
+        resize_media,
+        synthesize_media_table,
+    )
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    media = ray.data.from_arrow(synthesize_media_table(docs))
+    return extract_media_features(resize_media(media, 8, 6))
+
+
 # --------------------------------------------------------------------------
 # 6. Goldset-prep analogs: regex masks, priority bucketing, splits, distincts
 # --------------------------------------------------------------------------

@@ -166,6 +166,140 @@ def extract_media_features(
     )
 
 
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize in pure numpy (index gather — deterministic,
+    no interpolation library needed)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[ys][:, xs]
+
+
+class MediaResizer:
+    """Actor-pool resize stage: netpbm images are decoded, nearest-neighbor
+    resized and re-encoded FOR REAL; other kinds/formats pass through
+    unchanged (``strict=True`` raises instead — the honest boundary for
+    codec formats this container cannot decode). Output keeps the
+    MEDIA_SCHEMA layout with width/height metadata updated beside the
+    payload, so downstream stages never re-measure the blob."""
+
+    def __init__(self, out_w: int, out_h: int, strict: bool = False) -> None:
+        self.out_w, self.out_h, self.strict = out_w, out_h, strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        widths = batch["width"].to_pylist()
+        heights = batch["height"].to_pylist()
+        for i, (p, k) in enumerate(zip(payloads, kinds)):
+            if k == "image" and p[:2] in (b"P5", b"P6"):
+                payloads[i] = encode_netpbm(
+                    resize_image(decode_netpbm(p), self.out_h, self.out_w)
+                )
+                widths[i], heights[i] = self.out_w, self.out_h
+            elif self.strict:
+                raise NotImplementedError(
+                    f"resize of kind={k!r} needs codec libraries not present "
+                    "in this container (only netpbm images resize natively)"
+                )
+        out = batch.set_column(
+            batch.schema.get_field_index("payload"), "payload",
+            pa.array(payloads, pa.large_binary()),
+        )
+        out = out.set_column(
+            out.schema.get_field_index("width"), "width",
+            pa.array(widths, pa.int32()),
+        )
+        return out.set_column(
+            out.schema.get_field_index("height"), "height",
+            pa.array(heights, pa.int32()),
+        )
+
+
+def resize_media(
+    media: ray.data.Dataset, out_w: int, out_h: int,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Resize pipeline stage — same actor-pool / small-batch shape as
+    :func:`extract_media_features` (wide binary rows)."""
+    from localhost_address_matching_ray.config import default_pool_size
+
+    return media.map_batches(
+        MediaResizer,
+        fn_constructor_args=(out_w, out_h),
+        batch_format="pyarrow",
+        batch_size=MULTIMODAL_BATCH_SIZE,
+        concurrency=default_pool_size(concurrency or 2),
+        num_cpus=1,
+    )
+
+
+FRAME_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("frame_idx", pa.int64()),
+    ("frame", pa.large_binary()),
+])
+
+
+class FrameSampler:
+    """One→many frame-sampling stage for video rows: evenly-spaced frame
+    indices over a payload-derived frame count, one output row per sampled
+    frame. Codec decode is honestly stubbed (``strict=True`` raises;
+    default derives a deterministic sha256 stand-in per frame) — the
+    Ray-side plumbing that matters at scale (row expansion inside
+    map_batches, small batches for wide rows, narrow typed output schema)
+    is real and tested."""
+
+    def __init__(self, n_frames: int, strict: bool = False) -> None:
+        self.n_frames, self.strict = n_frames, strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, frames = [], [], []
+        for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            if self.strict:
+                raise NotImplementedError(
+                    "video frame decode needs codec libraries not present in "
+                    "this container; the deterministic stand-in covers tests"
+                )
+            total = max(1, len(payload) // 64)  # stand-in frame count
+            picks = np.unique(
+                (np.arange(self.n_frames) * total) // max(self.n_frames, 1)
+            )
+            for fi in picks.tolist():
+                ids.append(mid)
+                idxs.append(fi)
+                frames.append(
+                    hashlib.sha256(payload + fi.to_bytes(8, "big")).digest()
+                )
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int64()),
+            "frame": pa.array(frames, pa.large_binary()),
+        })
+
+
+def sample_frames(
+    media: ray.data.Dataset, n_frames: int = 4, concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Frame-sampling pipeline stage (video rows → frame rows)."""
+    from localhost_address_matching_ray.config import default_pool_size
+
+    return media.map_batches(
+        FrameSampler,
+        fn_constructor_args=(n_frames,),
+        batch_format="pyarrow",
+        batch_size=MULTIMODAL_BATCH_SIZE,
+        concurrency=default_pool_size(concurrency or 2),
+        num_cpus=1,
+    )
+
+
 def synthesize_media_table(docs: pa.Table) -> pa.Table:
     """Deterministic fake media derived from the documents table (no
     external data): image rows carry REAL P6 netpbm payloads (16×12 RGB

@@ -130,6 +130,59 @@ def test_multimodal_plumbing():
     assert abs(img_row["features"][1] - 16 / 255) < 1e-6
 
 
+def test_multimodal_resize_and_frame_sample():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from localhost_address_matching_ray.stages.multimodal import (
+        FrameSampler,
+        MediaResizer,
+        decode_netpbm,
+        resize_image,
+        resize_media,
+        sample_frames,
+        synthesize_media_table,
+    )
+
+    # pure-numpy nearest-neighbor resize: exact index-gather semantics
+    img = np.arange(12 * 16 * 3, dtype=np.uint8).reshape(12, 16, 3)
+    small = resize_image(img, 6, 8)
+    assert small.shape == (6, 8, 3)
+    assert np.array_equal(small[0, 0], img[0, 0])
+    assert np.array_equal(small[5, 7], img[(5 * 12) // 6, (7 * 16) // 8])
+
+    docs_tbl = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    media = synthesize_media_table(docs_tbl)
+    resized = resize_media(ray.data.from_arrow(media), 8, 6).take_all()
+    assert len(resized) == media.num_rows
+    for r in resized:
+        if r["kind"] == "image" and r["payload"][:2] in (b"P5", b"P6"):
+            assert (r["width"], r["height"]) == (8, 6)
+            assert decode_netpbm(r["payload"]).shape == (6, 8, 3)
+        else:  # non-decodable kinds pass through untouched
+            assert r["payload"][:2] not in (b"P5", b"P6")
+    # strict mode refuses codec formats instead of passing them through
+    with pytest.raises(NotImplementedError):
+        MediaResizer(4, 4, strict=True)(media.slice(1, 1))
+
+    frames = sample_frames(ray.data.from_arrow(media), n_frames=3).take_all()
+    n_videos = sum(1 for k in media["kind"].to_pylist() if k == "video")
+    assert n_videos > 0
+    assert {r["media_id"] % 3 for r in frames} == {2}  # videos only
+    per_media: dict = {}
+    for r in frames:
+        per_media.setdefault(r["media_id"], []).append(r)
+    assert all(1 <= len(v) <= 3 for v in per_media.values())
+    assert len(per_media) == n_videos
+    # deterministic stand-in frames; strict mode raises
+    f2 = FrameSampler(3)(media)
+    assert sorted(f2["frame"].to_pylist()) == sorted(r["frame"] for r in frames)
+    with pytest.raises(NotImplementedError):
+        FrameSampler(3, strict=True)(media)
+
+
 def test_netpbm_roundtrip_and_features():
     import numpy as np
 
