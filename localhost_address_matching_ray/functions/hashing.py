@@ -280,16 +280,30 @@ class MinHasher:
         probes = self._probe_table_cache
         if probes is None or probes.shape[0] != num_perm:
             probes = self._probe_table_cache = self._oph_probe_table(num_perm)
+        # SPARSE probe loop: only ~10% of lanes start empty on real docs and
+        # each attempt resolves ~90% of the remainder, so gathering the FULL
+        # (n, num_perm) matrix per attempt (the obvious formulation) does
+        # ~25× the useful work — measured 282 ms vs ~15 ms per 11.5k-row
+        # batch. Track the flat indices of unresolved lanes instead.
+        flat_idx = np.flatnonzero(unresolved.ravel())
+        rows = flat_idx // num_perm
+        lanes = flat_idx - rows * num_perm
+        res_flat = res.ravel()
+        out_flat = out.ravel()
         for a in range(probes.shape[1]):
-            if not unresolved.any():
+            if len(flat_idx) == 0:
                 break
-            cand = out[:, probes[:, a]]
-            take = unresolved & (cand != empty)
-            res[take] = cand[take]
-            unresolved &= ~take
-        if unresolved.any():
+            cand = out_flat[rows * num_perm + probes[lanes, a]]
+            ok = cand != empty
+            res_flat[flat_idx[ok]] = cand[ok]
+            miss = ~ok
+            flat_idx, rows, lanes = flat_idx[miss], rows[miss], lanes[miss]
+        if len(flat_idx):
             # pathological fill fractions (1-2 filled bins): finish with
             # log-step cyclic fill over the resolved matrix
+            unresolved = np.zeros(n * num_perm, dtype=bool)
+            unresolved[flat_idx] = True
+            unresolved = unresolved.reshape(n, num_perm)
             step = 1
             while step < num_perm and unresolved.any():
                 y = np.roll(res, -step, axis=1)

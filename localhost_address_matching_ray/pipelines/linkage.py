@@ -89,7 +89,10 @@ def link_corpus(
     # th256: the token-hash family (sha256-prefix since round 4, was sha1)
     # — a different family yields incomparable signatures, so it must
     # invalidate feature-derived checkpoints just like a minhash-mode flip
-    fver = f"{ver}+mh-{config.effective_minhash_mode}+th256"
+    # fs2: feature-schema generation (the dead flagship simhash column was
+    # dropped) — old feature checkpoints carry a column the pipeline no
+    # longer writes, so they must not be resumed into this code
+    fver = f"{ver}+mh-{config.effective_minhash_mode}+th256+fs2"
     if config.verify_mode != "estimate":
         # exact mode changes the feature schema (tok64) AND the edge
         # predicate — features/edges/clusters checkpoints are incomparable

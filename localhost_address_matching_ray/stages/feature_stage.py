@@ -23,8 +23,13 @@ adds:
              (cheap) instead of 20-char strings, and a 64-bit collision
              merely merges two blocks (extra scored pairs, no correctness
              loss — scoring filters them).
-  simhash    uint64 (for the SimHash near-dup operator)
   n_tokens_sig  int64 — token count entering the signature
+
+(The SimHash near-dup operator computes its fingerprints in its own pass
+over the documents table — ``stages/docs_ops.simhash_pairs`` — so the
+flagship feature table does not carry a simhash column: nothing in the
+linkage pipeline consumed it, and dropping it removed ~15% of the
+feature stage's per-row CPU, the pipeline's dominant cost.)
 """
 
 from __future__ import annotations
@@ -42,7 +47,6 @@ from localhost_address_matching_ray.functions.arrowbuf import (
 )
 from localhost_address_matching_ray.functions.hashing import (
     MinHasher,
-    SimHasher,
     TokenHasher,
     shingle_hashes_from,
 )
@@ -71,7 +75,6 @@ class FeatureExtractor:
 
         self.config = config
         self.minhasher = MinHasher(num_perm=config.num_perm)
-        self.simhasher = SimHasher()
         self.token_hasher = TokenHasher()
         self.lang_configs = config.lang_configs
         self._stops = {
@@ -307,11 +310,6 @@ class FeatureExtractor:
         block_hash_col = u64_rows_to_list_array(
             bh_mat[bh_mask], bands + has_stem.astype(np.int32)
         )
-        # simhash for the whole batch in one vectorized reduceat pass
-        simhashes = self.simhasher.simhash_batch(
-            np.concatenate(th_list) if th_list else np.empty(0, np.uint64),
-            n_tok,
-        )
         # sig8 fold for the whole batch in one pass (per-row astype is ~10×
         # the cost at 4k rows/batch); row slices of a C-contiguous uint8
         # matrix serialize with one memcpy each
@@ -324,7 +322,6 @@ class FeatureExtractor:
             .append_column("sig", sig_col)
             .append_column("sig8", sig8_col)
             .append_column("block_hashes", block_hash_col)
-            .append_column("simhash", pa.array(simhashes, pa.uint64()))
             .append_column("n_tokens_sig", pa.array(n_tok, pa.int64()))
         )
         if exact:
