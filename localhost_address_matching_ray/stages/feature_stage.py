@@ -181,11 +181,15 @@ class FeatureExtractor:
             # dropping by hash reproduces the tokenize semantics exactly
             stops = self._stops.get(lg) or ()
             drop_h = self.token_hasher.hash_tokens(list(stops) + [""])
-            row_of = np.repeat(np.arange(len(idx)), lengths)
             keep = ~np.isin(th_flat, drop_h)
             th_kept = th_flat[keep]
-            new_len = np.bincount(row_of[keep], minlength=len(idx))
-            offs = np.concatenate(([0], np.cumsum(new_len)))
+            # kept-count per row via one cumsum + offset gathers — no
+            # row-index materialization (np.repeat over every token) and no
+            # bincount pass; row boundaries are the original length offsets
+            row_ends = np.cumsum(lengths)
+            kept_cum = np.concatenate(([0], np.cumsum(keep)))
+            ends_kept = kept_cum[row_ends]
+            offs = np.concatenate(([0], ends_kept))
             for j_local, j_global in enumerate(idx):
                 out[j_global] = th_kept[offs[j_local] : offs[j_local + 1]]
         return out
