@@ -194,6 +194,15 @@ def wait_quiet() -> None:
     deadline = time.time() + float(os.environ.get("GRAFT_QUIET_MAX_WAIT", "240"))
     while time.time() < deadline and os.getloadavg()[0] > thr:
         time.sleep(15)
+    # loadavg only sees GUEST load; host-level co-tenancy shows up solely in
+    # the fixed-work probes (measured: calib_par_sec swings 0.35 → 1.14 on
+    # this box while guest loadavg reads ~0). Extend the bounded wait while
+    # the parallel probe reads a slow window — the headline measures the
+    # engine, not the neighbor. Threshold 0.90 sits between the nominal band
+    # (0.68-0.82) and the measured slow episodes (≥1.0).
+    pthr = float(os.environ.get("GRAFT_QUIET_CALIB_PAR", "0.90"))
+    while time.time() < deadline and calibration_par_sec() > pthr:
+        time.sleep(15)
 
 
 def main() -> None:
