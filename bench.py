@@ -191,7 +191,9 @@ def wait_quiet() -> None:
     if os.environ.get("GRAFT_SCALING_WAIT_QUIET", "1") == "0":
         return
     thr = float(os.environ.get("GRAFT_QUIET_LOAD", "2.5"))
-    deadline = time.time() + float(os.environ.get("GRAFT_QUIET_MAX_WAIT", "240"))
+    # co-tenant episodes on this box last 10-20 min (measured): a 4-min cap
+    # timed out inside most episodes, so the bound is one episode length
+    deadline = time.time() + float(os.environ.get("GRAFT_QUIET_MAX_WAIT", "900"))
     while time.time() < deadline and os.getloadavg()[0] > thr:
         time.sleep(15)
     # loadavg only sees GUEST load; host-level co-tenancy shows up solely in

@@ -192,3 +192,50 @@ def test_minhash_mode_validation_and_fallback():
         "lang": ["python"], "stem": ["m"],
     }))
     assert len(out["sig"][0].as_py()) == 96 * 8  # classic kernel ran
+
+
+def test_oph_sparse_densify_matches_dense_reference():
+    """The sparse probe loop (flat unresolved indices) must be value-identical
+    to the dense formulation it replaced: per attempt, every unresolved lane
+    borrows from the ORIGINAL binned matrix at its probe position, then the
+    log-step cyclic fill finishes pathological fills. Covers empty docs,
+    1-2-shingle docs (probe loop falls through to log-step), and dense docs."""
+    import numpy as np
+
+    from localhost_address_matching_ray.functions.hashing import MinHasher
+
+    mh = MinHasher(num_perm=128)
+    num_perm, nbits = 128, 7
+    empty = np.uint64(2**64 - 1)
+    rng = np.random.RandomState(17)
+    lengths = np.array([0, 1, 2, 3, 5, 128, 300, 1, 0, 64, 7, 2000], np.int64)
+    flat = rng.randint(0, 2**63, size=int(lengths.sum())).astype(np.uint64)
+
+    got = mh.oph_signature_batch(flat, lengths)
+
+    # dense reference (the pre-optimization algorithm, verbatim semantics)
+    n = len(lengths)
+    out = np.full(n * num_perm, empty, dtype=np.uint64)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    bins = (flat >> np.uint64(64 - nbits)).astype(np.int64)
+    np.minimum.at(out, doc_idx * num_perm + bins, flat)
+    out = out.reshape(n, num_perm)
+    unresolved = (out == empty) & (lengths > 0)[:, None]
+    res = out.copy()
+    probes = mh._oph_probe_table(num_perm)
+    for a in range(probes.shape[1]):
+        if not unresolved.any():
+            break
+        cand = out[:, probes[:, a]]
+        take = unresolved & (cand != empty)
+        res[take] = cand[take]
+        unresolved &= ~take
+    step = 1
+    while step < num_perm and unresolved.any():
+        y = np.roll(res, -step, axis=1)
+        take = unresolved & (y != empty)
+        res[take] = y[take]
+        unresolved &= ~take
+        step *= 2
+
+    assert np.array_equal(got, res)
