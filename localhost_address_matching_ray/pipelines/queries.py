@@ -1169,7 +1169,9 @@ def linkage_fixture_clusters(sf_dir: str) -> ray.data.Dataset:
 
 
 @register("multimodal_media_features", None,
-          "multimodal decode/feature plumbing (decode kernel stubbed, Ray plumbing real)")
+          "multimodal decode + features — REAL pure-numpy decode for each "
+          "modality's interchange format (netpbm image / PCM WAV audio / "
+          "y4m video); codec formats honestly stubbed")
 def multimodal_media_features(sf_dir: str) -> ray.data.Dataset:
     import os
     import pyarrow.parquet as pq
@@ -1188,8 +1190,9 @@ def multimodal_media_features(sf_dir: str) -> ray.data.Dataset:
 
 @register("multimodal_resize_frames", None,
           "multimodal resize (REAL pure-numpy netpbm path) + video frame "
-          "sampling (row-expanding actor stage; codec decode honestly "
-          "stubbed) — features over the resized stream")
+          "sampling (row-expanding actor stage; y4m streams decode REAL "
+          "frames, codec video honestly stubbed) — features over the "
+          "resized stream")
 def multimodal_resize_frames(sf_dir: str) -> ray.data.Dataset:
     import os
     import pyarrow.parquet as pq

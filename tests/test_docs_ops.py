@@ -111,11 +111,14 @@ def test_multimodal_plumbing():
     out = extract_media_features(ray.data.from_arrow(media)).take_all()
     assert len(out) == 500
     assert all(len(r["features"]) == 16 for r in out[:10])
-    # codec formats (jpeg/audio/video) still raise and say so
+    # codec formats (jpeg/mp3) still raise and say so; corrupt payloads in
+    # a native interchange format fail loudly as ValueError
     with pytest.raises(NotImplementedError):
         real_decode(b"xx", "image")
     with pytest.raises(NotImplementedError):
-        real_decode(b"RIFF....", "audio")
+        real_decode(b"\xff\xfbmp3-ish", "audio")
+    with pytest.raises(ValueError):
+        real_decode(b"RIFF....", "audio")  # RIFF prefix but no WAVE header
     # deterministic: same payload → same features (real + fake paths)
     ex = MediaFeatureExtractor()
     t = media.slice(0, 3)
@@ -128,6 +131,18 @@ def test_multimodal_plumbing():
     img_row = next(r for k, r in by_id.items() if k % 3 == 0)
     assert abs(img_row["features"][0] - 12 / 255) < 1e-6
     assert abs(img_row["features"][1] - 16 / 255) < 1e-6
+    # audio rows went through the REAL WAV decode: duration = 512/16000 s,
+    # 1 channel, and a pure sine's peak ≈ 0.45
+    aud_row = next(r for k, r in by_id.items() if k % 3 == 1 and k % 15 != 1)
+    assert abs(aud_row["features"][0] - 512 / 16000) < 1e-6
+    assert aud_row["features"][1] == 1.0
+    assert 0.2 < aud_row["features"][3] <= 0.46
+    # video rows went through the REAL y4m decode: 5 frames of 12x16
+    vid_row = next(r for k, r in by_id.items() if k % 3 == 2 and k % 15 != 2)
+    assert vid_row["features"][:4] == [5.0, 12.0, 16.0, 25.0]
+    # codec stand-in rows still flow through the fake path (no raise)
+    standin = next(r for k, r in by_id.items() if k % 15 == 1)
+    assert len(standin["features"]) == 16
 
 
 def test_multimodal_resize_and_frame_sample():
@@ -203,6 +218,104 @@ def test_netpbm_roundtrip_and_features():
     f = image_features(rgb)
     assert f.shape == (16,)
     assert abs(f[2] * 255 - rgb.mean()) < 1e-3  # global mean channel
+
+
+def test_wav_roundtrip_and_audio_features():
+    import numpy as np
+    import pytest
+
+    from localhost_address_matching_ray.stages.multimodal import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    # 16-bit PCM round-trip is exact at int16 resolution, mono and stereo
+    x = (np.arange(-50, 50, dtype=np.float32) / 64.0).clip(-1, 1)
+    got, rate = decode_wav(encode_wav(x, 8000))
+    assert rate == 8000 and got.shape == (100, 1)
+    assert np.allclose(got[:, 0], x, atol=1.0 / 32767)
+    st = np.stack([x, -x], axis=1)
+    got2, _ = decode_wav(encode_wav(st, 44100))
+    assert got2.shape == (100, 2)
+    assert np.allclose(got2, st, atol=1.0 / 32767)
+    # golden header bytes: RIFF/WAVE + fmt(PCM,1ch,8kHz,16bit) + data
+    payload = encode_wav(np.zeros(2, np.float32), 8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    assert payload[12:16] == b"fmt " and int.from_bytes(payload[16:20], "little") == 16
+    assert int.from_bytes(payload[20:22], "little") == 1  # PCM tag
+    assert int.from_bytes(payload[24:28], "little") == 8000
+    assert payload[36:40] == b"data" and payload[40:44] == (4).to_bytes(4, "little")
+    # 8-bit unsigned PCM decodes too (hand-built)
+    pcm8 = bytes([128, 255, 0, 128])
+    fmt = (1).to_bytes(2, "little") + (1).to_bytes(2, "little") + \
+        (4000).to_bytes(4, "little") + (4000).to_bytes(4, "little") + \
+        (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    wav8 = b"RIFF" + (28 + len(pcm8)).to_bytes(4, "little") + b"WAVE" + \
+        b"fmt " + (16).to_bytes(4, "little") + fmt + \
+        b"data" + len(pcm8).to_bytes(4, "little") + pcm8
+    s8, r8 = decode_wav(wav8)
+    assert r8 == 4000
+    assert np.allclose(s8[:, 0], [0.0, 127 / 128, -1.0, 0.0])
+    # compressed WAV (format tag != 1) is an honest NotImplementedError
+    bad = bytearray(wav8)
+    bad[20] = 85  # format tag 85 = MP3-in-WAV
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(bad))
+    # feature vector: duration, channels, rms, peak, zcr all real
+    f = audio_features(*decode_wav(encode_wav(x, 8000)))
+    assert f.shape == (16,) and f.dtype == np.float32
+    assert abs(f[0] - 100 / 8000) < 1e-6 and f[1] == 1.0
+    assert abs(f[2] - np.sqrt(np.mean(x * x))) < 1e-3
+    assert abs(f[3] - np.abs(x).max()) < 1e-3
+    assert abs(f[5] + f[6] + f[7] - 1.0) < 1e-6  # band fractions sum to 1
+
+
+def test_y4m_roundtrip_frames_and_video_features():
+    import numpy as np
+    import pytest
+
+    from localhost_address_matching_ray.stages.multimodal import (
+        FrameSampler,
+        decode_netpbm,
+        decode_y4m,
+        encode_y4m,
+        image_features,
+        video_features,
+    )
+
+    rng = np.random.RandomState(7)
+    luma = rng.randint(0, 256, (4, 6, 8), dtype=np.uint8)
+    payload = encode_y4m(luma, fps=(30, 1))
+    got, fps = decode_y4m(payload)
+    assert fps == (30, 1)
+    assert np.array_equal(got, luma)
+    # C444 and mono frame sizes parse too (hand-built, single frame)
+    mono = b"YUV4MPEG2 W4 H2 F25:1 Cmono\nFRAME\n" + bytes(range(8))
+    gm, _ = decode_y4m(mono)
+    assert np.array_equal(gm[0], np.arange(8, dtype=np.uint8).reshape(2, 4))
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H2 C999\nFRAME\n" + bytes(8))
+    # video features: frame count / dims / fps real, grid from mean frame
+    vf = video_features(luma, (30, 1))
+    assert vf[:4].tolist() == [4.0, 6.0, 8.0, 30.0]
+    assert abs(vf[4] * 255 - luma.mean()) < 1e-2
+    # frame sampling composes with the REAL image path: sampled frames are
+    # P5 netpbm images of the exact luma planes at evenly-spaced indices
+    import pyarrow as pa
+
+    media = pa.table({
+        "media_id": pa.array([9], pa.int64()),
+        "kind": pa.array(["video"], pa.string()),
+        "payload": pa.array([payload], pa.large_binary()),
+    })
+    frames = FrameSampler(2, strict=True)(media)  # strict OK: y4m is real
+    assert frames["frame_idx"].to_pylist() == [0, 2]
+    for fi, fb in zip(frames["frame_idx"].to_pylist(),
+                      frames["frame"].to_pylist()):
+        img = decode_netpbm(fb)
+        assert np.array_equal(img, luma[fi])
+        assert image_features(img).shape == (16,)
 
 
 def test_ivf_topk_recall_vs_brute():
