@@ -397,6 +397,37 @@ def doc_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+@register(
+    "doc_top_terms",
+    f"""
+WITH n AS (SELECT doc_id, {_DOCNORM} AS norm FROM documents),
+t AS (SELECT doc_id,
+        unnest(CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END) AS token
+      FROM n),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+nn AS (SELECT count(*) AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        tf.tf * (nn.n_docs::DOUBLE / df.df) AS score
+      FROM tf JOIN df USING (token) CROSS JOIN nn),
+r AS (SELECT s.*,
+        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC)
+          AS term_rank
+      FROM s)
+SELECT doc_id, token, tf, df, score, term_rank FROM r WHERE term_rank <= 3""",
+    "per-doc top-3 TF-IDF terms (log-free idf = n_docs/df for bit-exact "
+    "Ray/SQL parity; ties by token ASC). Scale shape: two streaming "
+    "passes, pre-aggregated token→df groupby, broadcast df map with a "
+    "distributed join fallback above the ceiling — no (doc, token) "
+    "shuffle on the hot path",
+)
+def doc_top_terms(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.docs_ops import top_terms
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return top_terms(docs, k=3)
+
+
 def _langid_sql() -> str:
     from localhost_address_matching_ray.functions.text import LANG_MARKERS
 

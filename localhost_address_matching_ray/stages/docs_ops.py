@@ -973,3 +973,219 @@ def simhash_pairs(
     return raw.map_batches(tag, batch_format="pyarrow").groupby("pb").map_groups(
         dedup, batch_format="pyarrow"
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms
+# --------------------------------------------------------------------------
+
+_TOP_TERMS_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("token", pa.string()),
+    ("tf", pa.int64()),
+    ("df", pa.int64()),
+    ("score", pa.float64()),
+    ("term_rank", pa.int64()),
+])
+
+
+def _batch_row_token_tf(batch: pa.Table):
+    """Vectorized (row_idx, token_code, tf) runs for one batch plus the
+    batch dictionary: normalize in RE2/C, ``split_pattern`` to Arrow lists,
+    dictionary-encode (one string object per DISTINCT token, not per
+    occurrence), then one lexsort + run-length pass. The empty token ''
+    (produced only by all-empty rows: ``split_pattern('', ' ') == ['']``
+    while the token semantics say []) is dropped by code."""
+    import pyarrow.compute as pc
+
+    from localhost_address_matching_ray.functions.normalize import (
+        normalize_content_arrow,
+    )
+
+    n = batch.num_rows
+    col = batch["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    norm = normalize_content_arrow(pc.fill_null(col, ""))
+    tok_list = pc.split_pattern(norm, pattern=" ")
+    enc = pc.list_flatten(tok_list).dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_strings = enc.dictionary
+    lengths = pc.list_value_length(tok_list).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    empty_code = np.flatnonzero(
+        pc.equal(dict_strings, "").to_numpy(zero_copy_only=False)
+    )
+    if len(empty_code):
+        keep = codes != empty_code[0]
+        codes, row_of = codes[keep], row_of[keep]
+    order = np.lexsort((codes, row_of))
+    r2, c2 = row_of[order], codes[order]
+    if len(r2):
+        new = np.concatenate(([True], (r2[1:] != r2[:-1]) | (c2[1:] != c2[:-1])))
+    else:
+        new = np.empty(0, dtype=bool)
+    starts = np.flatnonzero(new)
+    tf = np.diff(np.append(starts, len(r2)))
+    return r2[starts], c2[starts], tf.astype(np.int64), dict_strings
+
+
+def _df_table(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Document frequency per token: per-batch partial counts (one row per
+    DISTINCT token per batch — the combiner) → one small groupby-sum
+    shuffle. The wide text column never rides the shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, toks, _, dict_strings = _batch_row_token_tf(batch)
+        cnt = np.bincount(toks, minlength=len(dict_strings)) if len(toks) \
+            else np.zeros(len(dict_strings), np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "token": dict_strings.take(pa.array(nz)),
+            "cnt": pa.array(cnt[nz], pa.int64()),
+        })
+
+    return docs.map_batches(
+        partial, batch_format="pyarrow", batch_size=4096
+    ).groupby("token").aggregate(Sum("cnt", alias_name="df"))
+
+
+def top_terms(
+    docs: ray.data.Dataset,
+    k: int = 3,
+    broadcast_df_max: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Per-document top-``k`` TF-IDF terms over the normalized token stream:
+    ``score = tf * (n_docs / df)`` (a log-free idf weighting — division and
+    multiplication are IEEE-exact, so the Ray and DuckDB values agree
+    bit-for-bit, which a transcendental ``ln`` across two libm
+    implementations would not guarantee), ties broken by token ASC
+    (UTF-8 byte order, = DuckDB's binary collation).
+
+    Scale shape: docs stream TWICE (df pass, then score pass) — a doc's
+    tokens stay inside its own batch, so there is NO (doc, token) shuffle
+    on the hot path; the only exchange is the pre-aggregated token→df
+    groupby (one row per distinct token per batch). The df table is
+    broadcast via ``ray.put`` when ≤ ``broadcast_df_max`` rows (vocab of a
+    100-TB corpus after per-batch dedup is typically ≪ row count); above
+    the ceiling the op falls back to a distributed explode + hash join +
+    per-doc group top-k — same result, two extra shuffles, no driver
+    collect."""
+    import pyarrow.compute as pc
+
+    n_docs = docs.count()
+    if n_docs == 0:
+        return ray.data.from_arrow(_TOP_TERMS_SCHEMA.empty_table())
+    df_ds = _df_table(docs).materialize()
+    if df_ds.count() > broadcast_df_max:
+        return _top_terms_join(docs, df_ds, k, n_docs)
+    df_tbl = pa.concat_tables(ray.get(df_ds.to_arrow_refs())).combine_chunks()
+    vocab_ref = ray.put((
+        df_tbl["token"].combine_chunks(),
+        df_tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64),
+    ))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        rows, toks, tf, dict_strings = _batch_row_token_tf(batch)
+        if len(rows) == 0:
+            return _TOP_TERMS_SCHEMA.empty_table()
+        vocab, dfv = ray.get(vocab_ref)
+        pos = pc.fill_null(
+            pc.index_in(dict_strings, value_set=vocab), -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        assert (pos[np.unique(toks)] >= 0).all(), "df pass missed a token"
+        df_run = dfv[pos[toks]]
+        score = tf.astype(np.float64) * (np.float64(n_docs) / df_run)
+        # token tie-rank = position in the batch dictionary's sorted order
+        sort_idx = pc.array_sort_indices(dict_strings).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        tok_rank = np.empty(len(sort_idx), np.int64)
+        tok_rank[sort_idx] = np.arange(len(sort_idx))
+        order = np.lexsort((tok_rank[toks], -score, rows))
+        rr = rows[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], rr[1:] != rr[:-1]))
+        )
+        pos_in_row = np.arange(len(rr)) - np.repeat(
+            starts, np.diff(np.append(starts, len(rr)))
+        )
+        keep = pos_in_row < k
+        sel = order[keep]
+        doc_col = batch["doc_id"]
+        if isinstance(doc_col, pa.ChunkedArray):
+            doc_col = doc_col.combine_chunks()
+        return pa.table({
+            "doc_id": doc_col.take(pa.array(rows[sel])),
+            "token": dict_strings.take(pa.array(toks[sel])),
+            "tf": pa.array(tf[sel], pa.int64()),
+            "df": pa.array(df_run[sel], pa.int64()),
+            "score": pa.array(score[sel], pa.float64()),
+            "term_rank": pa.array(pos_in_row[keep] + 1, pa.int64()),
+        })
+
+    return docs.map_batches(score_batch, batch_format="pyarrow", batch_size=4096)
+
+
+def _top_terms_join(
+    docs: ray.data.Dataset, df_ds: ray.data.Dataset, k: int, n_docs: int
+) -> ray.data.Dataset:
+    """Beyond-broadcast fallback: explode (doc_id, token, tf), hash-join
+    with the df table on token, then per-doc top-k via a bucketed group
+    pass — all-distributed, no driver collect."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows, toks, tf, dict_strings = _batch_row_token_tf(batch)
+        doc_col = batch["doc_id"]
+        if isinstance(doc_col, pa.ChunkedArray):
+            doc_col = doc_col.combine_chunks()
+        return pa.table({
+            "doc_id": doc_col.take(pa.array(rows)),
+            "token": dict_strings.take(pa.array(toks)),
+            "tf": pa.array(tf, pa.int64()),
+        })
+
+    tf_ds = docs.map_batches(explode, batch_format="pyarrow", batch_size=4096)
+    from localhost_address_matching_ray.config import bucket_width
+
+    joined = tf_ds.join(
+        df_ds, join_type="inner", on=("token",),
+        num_partitions=max(8, bucket_width() // 8),
+    )
+
+    def pick_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = group["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = tf.astype(np.float64) * (np.float64(n_docs) / dfv)
+        toks = group["token"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        sort_idx = pc.array_sort_indices(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        tok_rank = np.empty(len(sort_idx), np.int64)
+        tok_rank[sort_idx] = np.arange(len(sort_idx))
+        doc = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tok_rank, -score, doc))
+        dd = doc[order]
+        starts = np.flatnonzero(np.concatenate(([True], dd[1:] != dd[:-1])))
+        pos_in_row = np.arange(len(dd)) - np.repeat(
+            starts, np.diff(np.append(starts, len(dd)))
+        )
+        keep = pos_in_row < k
+        sel = order[keep]
+        return pa.table({
+            "doc_id": pa.array(doc[sel], pa.int64()),
+            "token": toks.take(pa.array(sel)),
+            "tf": pa.array(tf[sel], pa.int64()),
+            "df": pa.array(dfv[sel], pa.int64()),
+            "score": pa.array(score[sel], pa.float64()),
+            "term_rank": pa.array(pos_in_row[keep] + 1, pa.int64()),
+        })
+
+    return joined.groupby("doc_id").map_groups(pick_topk, batch_format="pyarrow")

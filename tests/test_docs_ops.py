@@ -318,6 +318,33 @@ def test_y4m_roundtrip_frames_and_video_features():
         assert image_features(img).shape == (16,)
 
 
+def test_top_terms_fallback_matches_broadcast():
+    """The beyond-broadcast join fallback produces exactly the broadcast
+    path's rows (forced via broadcast_df_max=0), including tie-breaks."""
+    import pyarrow.parquet as pq
+
+    from localhost_address_matching_ray.stages.docs_ops import top_terms
+
+    docs_tbl = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).slice(0, 120)
+    docs = ray.data.from_arrow(docs_tbl)
+    key = lambda r: (r["doc_id"], r["term_rank"])
+    a = sorted(top_terms(docs, k=3).take_all(), key=key)
+    b = sorted(top_terms(docs, k=3, broadcast_df_max=0).take_all(), key=key)
+    assert len(a) > 0
+    assert a == b
+    # per-doc contract: ranks are 1..min(k, n_distinct_tokens), scores
+    # non-increasing within a doc
+    per_doc: dict = {}
+    for r in a:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in per_doc.values():
+        assert [r["term_rank"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["score"] for r in rows]
+        assert all(x >= y for x, y in zip(scores, scores[1:]))
+
+
 def test_ivf_topk_recall_vs_brute():
     """IVF dual-side multi-probe top-k overlaps the brute-force top-k
     ≥ 0.9 at the default (n_cells=16, n_probe=8, n_probe_data=2) on the
