@@ -1180,6 +1180,54 @@ def events_user_sessions(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+@register(
+    "events_asof_join",
+    """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c1 AS (SELECT user_id, ts, max_by(value, event_id) AS v
+       FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, p.ts,
+       coalesce(c1.ts, TIMESTAMP '1970-01-01') AS click_ts,
+       coalesce(c1.v, 0.0) AS click_value,
+       coalesce(date_diff('microsecond', c1.ts, p.ts), -1) AS lag_us
+FROM p ASOF LEFT JOIN c1 ON p.user_id = c1.user_id AND p.ts >= c1.ts""",
+    "as-of join (custom operator Ray Data lacks): each purchase joined to the "
+    "user's most recent click at-or-before it, ties by max event_id; bucketed "
+    "per-user groupby + one composite-key searchsorted per bucket — no "
+    "all-to-all sort, no per-row Python; unmatched lefts carry sentinels so "
+    "the LEFT semantics hash deterministically",
+)
+def events_asof_join(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.config import bucket_width
+    from localhost_address_matching_ray.stages.events_ops import asof_join_events
+
+    ev = read_table(
+        sf_dir, "events",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    return asof_join_events(ev, bucket_width=bucket_width())
+
+
+@register(
+    "events_range_join",
+    """
+SELECT a.user_id, a.event_id AS eid_a, b.event_id AS eid_b,
+       date_diff('microsecond', a.ts, b.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 2 HOUR""",
+    "range self-join (band join): every ordered same-user event pair within "
+    "a 2-hour window, resolved per bucket with two searchsorted passes and "
+    "repeat/cumsum pair materialization (no nested-loop join)",
+)
+def events_range_join(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.config import bucket_width
+    from localhost_address_matching_ray.stages.events_ops import range_join_events
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return range_join_events(ev, bucket_width=bucket_width())
+
+
 # --------------------------------------------------------------------------
 # 5. Flagship (fixture corpus) + multimodal — rows-only checks
 # --------------------------------------------------------------------------
