@@ -1076,6 +1076,117 @@ def supplier_nation_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 @register(
+    "orders_priority_quantiles",
+    """
+SELECT o_orderpriority,
+       quantile_disc(o_totalprice, 0.25) AS p25,
+       quantile_disc(o_totalprice, 0.50) AS p50,
+       quantile_disc(o_totalprice, 0.90) AS p90,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority""",
+    "grouped EXACT discrete quantiles at scale: per-batch (priority, cents) "
+    "histogram combiner (prices are exact 2-dp doubles, so the histogram is "
+    "bounded by distinct cent values, not row count) → one tiny groupby → "
+    "per-group cumulative-count walk; no group ever needs its raw rows "
+    "co-located, unlike a sort-based quantile. Index rule ceil(q*n)-1 = "
+    "DuckDB quantile_disc (property-tested in test_rel_ops.py)",
+)
+def orders_priority_quantiles(sf_dir: str) -> ray.data.Dataset:
+    orders = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    qs = (0.25, 0.50, 0.90)
+
+    def hist(t: pa.Table) -> pa.Table:
+        prio = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        cents = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        uniq, inv = np.unique(
+            np.rec.fromarrays([prio, cents], names=["p", "c"]), return_inverse=True
+        )
+        cnt = np.bincount(inv, minlength=len(uniq))
+        return pa.table({
+            "o_orderpriority": pa.array(uniq["p"], pa.string()),
+            "cents": pa.array(uniq["c"], pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+        })
+
+    def quantiles(g: pa.Table) -> pa.Table:
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cents, kind="mergesort")
+        cents, cnt = cents[order], cnt[order]
+        # partial histograms from different batches repeat cent values;
+        # collapse before the cumulative walk
+        uniq, start = np.unique(cents, return_index=True)
+        csum = np.cumsum(cnt)
+        tot = np.concatenate((csum[start[1:] - 1], [csum[-1]]))  # cum count at end of each cent bin
+        n = int(csum[-1])
+        vals = {}
+        for q in qs:
+            idx = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
+            vals[q] = uniq[np.searchsorted(tot, idx, side="right")] / 100.0
+        return pa.table({
+            "o_orderpriority": pa.array([g["o_orderpriority"][0].as_py()], pa.string()),
+            "p25": pa.array([vals[0.25]], pa.float64()),
+            "p50": pa.array([vals[0.50]], pa.float64()),
+            "p90": pa.array([vals[0.90]], pa.float64()),
+            "n": pa.array([n], pa.int64()),
+        })
+
+    return (
+        orders.map_batches(hist, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(quantiles, batch_format="pyarrow")
+    )
+
+
+@register(
+    "customers_without_big_orders",
+    """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)""",
+    "ANTI JOIN (operator Ray Data lacks): customers with no order above "
+    "450k, via the bucketed key-membership join — right side reduced to "
+    "distinct keys per batch (8 B/key combiner) before the shuffle, one "
+    "np.isin per bucket (stages/rel_ops.py)",
+)
+def customers_without_big_orders(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.config import bucket_width
+    from localhost_address_matching_ray.stages.rel_ops import anti_join_keys
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    big = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 450000.0)).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    return anti_join_keys(cust, big, key="c_custkey", right_key="o_custkey",
+                          bucket_width=bucket_width())
+
+
+@register(
+    "customers_with_urgent_orders",
+    """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""",
+    "SEMI JOIN: customers with at least one urgent order — same bucketed "
+    "key-membership shuffle as the anti join, mask inverted",
+)
+def customers_with_urgent_orders(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.config import bucket_width
+    from localhost_address_matching_ray.stages.rel_ops import semi_join_keys
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+    urgent = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    return semi_join_keys(cust, urgent, key="c_custkey", right_key="o_custkey",
+                          bucket_width=bucket_width())
+
+
+@register(
     "orders_by_month",
     """
 SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders,
@@ -1226,6 +1337,28 @@ def events_range_join(sf_dir: str) -> ray.data.Dataset:
 
     ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     return range_join_events(ev, bucket_width=bucket_width())
+
+
+@register(
+    "events_user_running_stats",
+    """
+SELECT event_id, user_id, ts,
+       row_number() OVER w AS rn,
+       sum(CAST(round(value*100) AS BIGINT)) OVER w AS run_cents,
+       coalesce(date_diff('microsecond', lag(ts) OVER w, ts), -1) AS since_prev_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "window functions (row_number / running sum / lag) per user, ordered by "
+    "(ts, event_id): bucketed hash(user) groupby + one lexsort + segment "
+    "cumsum per bucket; running sum carried in integer cents so int64 "
+    "addition order can't drift from SQL's windowed SUM",
+)
+def events_user_running_stats(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.config import bucket_width
+    from localhost_address_matching_ray.stages.events_ops import running_stats_events
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    return running_stats_events(ev, bucket_width=bucket_width())
 
 
 # --------------------------------------------------------------------------

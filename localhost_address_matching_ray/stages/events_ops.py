@@ -152,6 +152,69 @@ def asof_join_events(
     )
 
 
+def _empty_running_table() -> pa.Table:
+    return pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "rn": pa.array([], pa.int64()),
+        "run_cents": pa.array([], pa.int64()),
+        "since_prev_us": pa.array([], pa.int64()),
+    })
+
+
+def running_stats_events(
+    events: ray.data.Dataset,
+    *,
+    bucket_width: int = 64,
+) -> ray.data.Dataset:
+    """Per-user window functions over the event stream: row_number,
+    running sum of ``value`` and lag-to-previous-event, all ordered by
+    ``(ts, event_id)`` within the user partition (the SQL
+    ``OVER (PARTITION BY user_id ORDER BY ts, event_id)`` frame).
+
+    The running sum is carried in integer cents (``value`` is an exact
+    2-dp double, so ``rint(value*100)`` is exact on both engines) — an
+    int64 cumsum has no float-addition-order sensitivity, unlike a double
+    ``SUM() OVER`` whose segment-tree accumulation order differs from a
+    sequential cumsum. First event of a user gets ``since_prev_us = -1``.
+    """
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty_running_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        cents = np.rint(g["value"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, cents = uid[order], ts[order], eid[order], cents[order]
+        starts = np.concatenate(([0], np.flatnonzero(uid[1:] != uid[:-1]) + 1))
+        seg = np.zeros(len(uid), np.int64)
+        seg[starts[1:]] = 1
+        seg = np.cumsum(seg)
+        rn = np.arange(len(uid), dtype=np.int64) - starts[seg] + 1
+        csum = np.cumsum(cents)
+        base = np.concatenate(([0], csum[starts[1:] - 1]))
+        run = csum - base[seg]
+        since = ts - np.concatenate(([0], ts[:-1]))
+        since[starts] = -1
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "rn": pa.array(rn, pa.int64()),
+            "run_cents": pa.array(run, pa.int64()),
+            "since_prev_us": pa.array(since, pa.int64()),
+        })
+
+    return (
+        events.map_batches(_bucket_tag(bucket_width), batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def _empty_range_table() -> pa.Table:
     return pa.table({
         "user_id": pa.array([], pa.int64()),

@@ -1,0 +1,99 @@
+"""Relational operators Ray Data lacks, built on the bucketed-groupby idiom.
+
+``anti_join_keys`` / ``semi_join_keys`` are key-membership joins
+(NOT EXISTS / EXISTS): keep each left row whose int64 key is absent from
+(present in) the right-side key stream.  Ray's native ``Dataset.join``
+has no anti/semi type, and a left-outer + null-filter would ship the full
+right payload; instead both sides are reduced to what the predicate
+needs — the right side to DISTINCT keys *per batch* (a combiner, so
+duplicate-heavy rights shrink before the shuffle) — tagged with
+``hash(key) % bucket_width`` and resolved per bucket with one
+``np.isin``.
+
+Partitioning assumption: equal keys land in the same bucket (guaranteed by
+hashing the key itself); bucket width only controls parallelism and is
+cluster-relative via ``config.bucket_width()``.  The right side ships 8
+bytes per distinct key per batch; the left ships only the projected
+payload columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _key_bucket(keys: np.ndarray, nb: int) -> np.ndarray:
+    h = keys.astype(np.uint64) * _MIX
+    h ^= h >> np.uint64(33)
+    return (h % np.uint64(nb)).astype(np.int32)
+
+
+def _membership_join(left, right, *, key, right_key, bucket_width, keep_present):
+    left_schema = left.schema()
+    if left_schema is None or left.count() == 0:
+        return left  # empty left: both join types are empty
+    out_fields = list(left_schema.base_schema)
+    out_names = [f.name for f in out_fields]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        keys = t[key].to_numpy(zero_copy_only=False)
+        t = t.append_column("kb", pa.array(_key_bucket(keys, bucket_width)))
+        return t.append_column("probe", pa.array(np.zeros(len(keys), np.int8)))
+
+    def right_keys(t: pa.Table) -> pa.Table:
+        keys = np.unique(t[right_key].to_numpy(zero_copy_only=False))
+        cols: dict[str, pa.Array] = {}
+        for f in out_fields:
+            if f.name == key:
+                cols[f.name] = pa.array(keys, f.type)
+            else:  # placeholder — never emitted; nulls keep the type honest
+                cols[f.name] = pa.nulls(len(keys), f.type)
+        out = pa.table(cols)
+        out = out.append_column("kb", pa.array(_key_bucket(keys, bucket_width)))
+        return out.append_column("probe", pa.array(np.ones(len(keys), np.int8)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        probe = g["probe"].to_numpy(zero_copy_only=False)
+        keys = g[key].to_numpy(zero_copy_only=False)
+        present = np.isin(keys, keys[probe == 1])
+        keep = (probe == 0) & (present if keep_present else ~present)
+        return g.filter(pa.array(keep)).select(out_names)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(right_keys, batch_format="pyarrow")
+    )
+    return tagged.groupby("kb").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def anti_join_keys(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    key: str,
+    right_key: str,
+    bucket_width: int = 64,
+) -> ray.data.Dataset:
+    """Rows of *left* whose ``key`` does NOT occur as *right*'s
+    ``right_key`` (SQL ``NOT EXISTS``). Left columns pass through
+    unchanged; the right side contributes nothing but key presence."""
+    return _membership_join(left, right, key=key, right_key=right_key,
+                            bucket_width=bucket_width, keep_present=False)
+
+
+def semi_join_keys(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    key: str,
+    right_key: str,
+    bucket_width: int = 64,
+) -> ray.data.Dataset:
+    """Rows of *left* whose ``key`` DOES occur in the right key stream
+    (SQL ``EXISTS``) — same shuffle shape as :func:`anti_join_keys` with
+    the membership mask inverted."""
+    return _membership_join(left, right, key=key, right_key=right_key,
+                            bucket_width=bucket_width, keep_present=True)
