@@ -1361,6 +1361,74 @@ def events_user_running_stats(sf_dir: str) -> ray.data.Dataset:
     return running_stats_events(ev, bucket_width=bucket_width())
 
 
+@register(
+    "events_funnel",
+    """
+WITH f AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'view') AS t0,
+         min(ts) FILTER (WHERE event_type = 'click') AS t1,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS t2
+  FROM events GROUP BY user_id)
+SELECT count(*) AS n_users,
+       count(*) FILTER (WHERE t0 IS NOT NULL) AS n_step1,
+       count(*) FILTER (WHERE t0 IS NOT NULL AND t1 IS NOT NULL
+                        AND t0 < t1) AS n_step2,
+       count(*) FILTER (WHERE t0 IS NOT NULL AND t1 IS NOT NULL
+                        AND t2 IS NOT NULL AND t0 < t1 AND t1 < t2) AS n_step3
+FROM f""",
+    "first-touch conversion funnel view→click→purchase: per-batch per-user "
+    "min-ts partials (the shuffle carries users, not events), bucketed "
+    "re-min + strict-order counts, one W-row final sum — SQL's "
+    "two-level FILTERed aggregate without any per-event shuffle",
+)
+def events_funnel(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.config import bucket_width
+    from localhost_address_matching_ray.stages.events_ops import funnel_events
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel_events(ev, bucket_width=bucket_width())
+
+
+@register(
+    "events_value_histogram",
+    """
+SELECT event_type, CAST(floor(value/25) AS BIGINT) AS bin,
+       count(*) AS n,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type, bin""",
+    "distribution histogram (G4's sanity stats as a first-class op): "
+    "per-batch (type, bin) partial counts + integer-cent sums, then one "
+    "tiny two-key groupby — bins, not rows, cross the wire",
+)
+def events_value_histogram(sf_dir: str) -> ray.data.Dataset:
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        etype = t["event_type"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        bins = np.floor(val / 25.0).astype(np.int64)
+        cents = np.rint(val * 100.0).astype(np.int64)
+        uniq, inv = np.unique(
+            np.rec.fromarrays([etype, bins], names=["t", "b"]), return_inverse=True
+        )
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        # float64 bincount sums are exact below 2^53 — cents fit easily
+        sums = np.bincount(inv, weights=cents, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array(uniq["t"], pa.string()),
+            "bin": pa.array(uniq["b"], pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "sum_cents": pa.array(sums, pa.int64()),
+        })
+
+    return (
+        ev.map_batches(hist, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+    )
+
+
 # --------------------------------------------------------------------------
 # 5. Flagship (fixture corpus) + multimodal — rows-only checks
 # --------------------------------------------------------------------------

@@ -152,6 +152,84 @@ def asof_join_events(
     )
 
 
+_TS_MISSING = np.iinfo(np.int64).max
+
+
+def funnel_events(
+    events: ray.data.Dataset,
+    *,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    bucket_width: int = 64,
+) -> ray.data.Dataset:
+    """First-touch conversion funnel: per user, the earliest timestamp of
+    each step; a user converts step i→i+1 when ``min(ts of step i) <
+    min(ts of step i+1)`` (strict). Returns ONE row of funnel counts.
+
+    Two-level aggregation: per-batch (user, min-ts-per-step) partials
+    (``np.minimum.at`` — each batch contributes at most one row per user
+    it saw, so the shuffle carries users, not events), bucketed per-user
+    re-min, per-bucket counts, then a single W-row groupby for the final
+    sums — no driver-side pass over users.
+    """
+    names = ("t0", "t1", "t2")
+
+    def partial(t: pa.Table) -> pa.Table:
+        etype = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        cols = {"user_id": pa.array(uniq, pa.int64())}
+        for name, step in zip(names, steps):
+            arr = np.full(len(uniq), _TS_MISSING, np.int64)
+            m = etype == step
+            np.minimum.at(arr, inv[m], ts[m])
+            cols[name] = pa.array(arr, pa.int64())
+        return pa.table(cols)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        mins = []
+        for name in names:
+            arr = np.full(len(uniq), _TS_MISSING, np.int64)
+            np.minimum.at(arr, inv, g[name].to_numpy(zero_copy_only=False))
+            mins.append(arr)
+        t0, t1, t2 = mins
+        has0 = t0 != _TS_MISSING
+        s1 = has0 & (t1 != _TS_MISSING) & (t0 < t1)
+        s2 = s1 & (t2 != _TS_MISSING) & (t1 < t2)
+        return pa.table({
+            "one": pa.array([0], pa.int32()),
+            "n_users": pa.array([len(uniq)], pa.int64()),
+            "n_step1": pa.array([int(has0.sum())], pa.int64()),
+            "n_step2": pa.array([int(s1.sum())], pa.int64()),
+            "n_step3": pa.array([int(s2.sum())], pa.int64()),
+        })
+
+    def total(g: pa.Table) -> pa.Table:
+        return pa.table({
+            k: pa.array([int(pc.sum(g[k]).as_py() or 0)], pa.int64())
+            for k in ("n_users", "n_step1", "n_step2", "n_step3")
+        })
+
+    # seed row: an empty stream still yields one all-zero funnel row, the
+    # way SQL's aggregate-without-GROUP-BY does
+    seed = ray.data.from_arrow(pa.table({
+        "one": pa.array([0], pa.int32()),
+        **{k: pa.array([0], pa.int64())
+           for k in ("n_users", "n_step1", "n_step2", "n_step3")},
+    }))
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .map_batches(_bucket_tag(bucket_width), batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .union(seed)
+        .groupby("one")
+        .map_groups(total, batch_format="pyarrow")
+    )
+
+
 def _empty_running_table() -> pa.Table:
     return pa.table({
         "event_id": pa.array([], pa.int64()),

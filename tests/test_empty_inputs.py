@@ -53,8 +53,14 @@ def test_every_query_survives_empty_tables(empty_sf_dir):
             else:
                 n = len(res)
             # linkage_fixture_clusters generates its own corpus (ignores
-            # sf_dir); everything else must come back empty
-            if name != "linkage_fixture_clusters":
+            # sf_dir); events_funnel is an aggregate-without-GROUP-BY, so
+            # like its SQL it yields exactly one all-zero row; everything
+            # else must come back empty
+            if name == "events_funnel":
+                assert n == 1, f"{name} returned {n} rows from empty inputs"
+                row = res.to_pandas().iloc[0]
+                assert list(row) == [0, 0, 0, 0], f"{name} nonzero on empty: {list(row)}"
+            elif name != "linkage_fixture_clusters":
                 assert n == 0, f"{name} returned {n} rows from empty inputs"
         except Exception as ex:  # collect all, report once
             failures[name] = f"{type(ex).__name__}: {ex}"

@@ -142,6 +142,51 @@ def test_asof_wide_span_fallback_path():
         assert r.lag_us == wlag and r.click_value == wval
 
 
+def _brute_funnel(rows):
+    mins = {}
+    for _, uid, ts, et, _ in rows:
+        d = mins.setdefault(uid, {})
+        if et in ("view", "click", "purchase"):
+            d[et] = min(d.get(et, ts), ts)
+    n1 = n2 = n3 = 0
+    for d in mins.values():
+        if "view" in d:
+            n1 += 1
+            if "click" in d and d["view"] < d["click"]:
+                n2 += 1
+                if "purchase" in d and d["click"] < d["purchase"]:
+                    n3 += 1
+    return len(mins), n1, n2, n3
+
+
+@pytest.mark.parametrize("seed", [0, 4])
+def test_funnel_matches_bruteforce(seed):
+    from localhost_address_matching_ray.stages.events_ops import funnel_events
+
+    rng = np.random.default_rng(seed)
+    rows = _rand_rows(rng, 400, n_users=12, span=1_000)
+    ds = ray.data.from_arrow(_events_table(rows))
+    got = funnel_events(ds, bucket_width=3).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r.n_users, r.n_step1, r.n_step2, r.n_step3) == _brute_funnel(rows)
+
+
+def test_funnel_empty_stream_yields_zero_row():
+    from localhost_address_matching_ray.stages.events_ops import funnel_events
+
+    ds = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+    }))
+    got = funnel_events(ds, bucket_width=2).to_pandas()
+    assert len(got) == 1
+    assert list(got.iloc[0]) == [0, 0, 0, 0]
+
+
 def test_range_join_wide_span_fallback_path():
     rng = np.random.default_rng(6)
     rows = _rand_rows(rng, 60, n_users=3, span=1)
