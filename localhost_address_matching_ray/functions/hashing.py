@@ -74,6 +74,19 @@ def row_id_arrow(repos, paths, commits) -> list[str]:
     return [d[:16] for d in sha256_hex_arrow(joined)]
 
 
+def u64_bucket(keys: np.ndarray, nb: int) -> np.ndarray:
+    """Deterministic int32 bucket of an integer key array: splitmix-style
+    remix (golden-ratio multiply + xor-shift) mod *nb*.
+
+    THE shared bucket-tag hash for every bucketed-groupby operator
+    (sessions, as-of/range joins, window stats, anti/semi joins) — one
+    implementation so the "equal keys land in the same bucket" partitioning
+    assumption can never diverge between operators."""
+    h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(33)
+    return (h % np.uint64(nb)).astype(np.int32)
+
+
 def _token_hash64(token: str) -> int:
     """Stable 64-bit token hash (first 8 bytes of sha256, big-endian).
 

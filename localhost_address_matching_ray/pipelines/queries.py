@@ -1254,13 +1254,13 @@ def events_user_sessions(sf_dir: str) -> ray.data.Dataset:
 
     ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
     gap_us = 30 * 60 * 1_000_000
-    nb = np.uint64(bucket_width())
+    from localhost_address_matching_ray.functions.hashing import u64_bucket
+
+    nb = bucket_width()
 
     def tag(t: pa.Table) -> pa.Table:
-        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = uid * np.uint64(0x9E3779B97F4A7C15)
-        h ^= h >> np.uint64(33)
-        return t.append_column("ub", pa.array((h % nb).astype(np.int32)))
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("ub", pa.array(u64_bucket(uid, nb)))
 
     def sessions_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:

@@ -47,13 +47,11 @@ def _composite_keys(uid: np.ndarray, ts_us: np.ndarray):
 
 
 def _bucket_tag(nb: int):
-    mix = np.uint64(0x9E3779B97F4A7C15)
+    from localhost_address_matching_ray.functions.hashing import u64_bucket
 
     def tag(t: pa.Table) -> pa.Table:
-        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = uid * mix
-        h ^= h >> np.uint64(33)
-        return t.append_column("ub", pa.array((h % np.uint64(nb)).astype(np.int32)))
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("ub", pa.array(u64_bucket(uid, nb)))
 
     return tag
 
@@ -324,16 +322,14 @@ def range_join_events(
         ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         eid = g["event_id"].to_numpy(zero_copy_only=False)
         packed = _composite_keys(uid, ts)
-        if packed is None:  # huge span: shrink to seconds (window is exact µs
-            # multiple of 1s in the registered query; general fallback sorts
-            # per user) — keep exactness by per-user windows instead
+        if packed is None:  # >63-bit packed key: exact per-user windows below
             order = np.lexsort((eid, ts, uid))
         else:
-            keys, _, shift = packed
+            keys, _, _ = packed
             order = np.lexsort((eid, keys))
         uid, ts, eid = uid[order], ts[order], eid[order]
         if packed is not None:
-            keys, _, shift = _composite_keys(uid, ts)  # recompute in sorted order
+            keys = keys[order]
             hi = np.searchsorted(keys, keys + np.uint64(window_us), side="right")
             lo = np.searchsorted(keys, keys, side="right")
             # window may cross into the next user's key range when rel_ts

@@ -23,19 +23,16 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-_MIX = np.uint64(0x9E3779B97F4A7C15)
-
-
-def _key_bucket(keys: np.ndarray, nb: int) -> np.ndarray:
-    h = keys.astype(np.uint64) * _MIX
-    h ^= h >> np.uint64(33)
-    return (h % np.uint64(nb)).astype(np.int32)
+from localhost_address_matching_ray.functions.hashing import u64_bucket as _key_bucket
 
 
 def _membership_join(left, right, *, key, right_key, bucket_width, keep_present):
+    # schema() of an all-empty Dataset is None — only then is the lazy path
+    # unbuildable (no field types to project); an empty-but-typed left flows
+    # through lazily and comes out empty, no driver count() needed
     left_schema = left.schema()
-    if left_schema is None or left.count() == 0:
-        return left  # empty left: both join types are empty
+    if left_schema is None:
+        return left
     out_fields = list(left_schema.base_schema)
     out_names = [f.name for f in out_fields]
 

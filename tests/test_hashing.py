@@ -239,3 +239,14 @@ def test_oph_sparse_densify_matches_dense_reference():
         step *= 2
 
     assert np.array_equal(got, res)
+
+
+def test_u64_bucket_deterministic_and_in_range():
+    from localhost_address_matching_ray.functions.hashing import u64_bucket
+
+    keys = np.array([0, 1, 2**40, -5, 7, 7], dtype=np.int64)
+    b = u64_bucket(keys, 16)
+    assert b.dtype == np.int32
+    assert ((b >= 0) & (b < 16)).all()
+    assert b[4] == b[5]  # equal keys, equal bucket — the partitioning invariant
+    assert (u64_bucket(keys, 16) == b).all()

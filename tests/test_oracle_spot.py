@@ -27,6 +27,14 @@ SPOT_QUERIES = [
     "doc_train_val_split",
     "doc_near_dedup_keep",
     "embedding_near_dedup_keep",
+    "events_asof_join",
+    "events_range_join",
+    "events_user_running_stats",
+    "events_funnel",
+    "events_value_histogram",
+    "customers_without_big_orders",
+    "customers_with_urgent_orders",
+    "orders_priority_quantiles",
 ]
 
 
