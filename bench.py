@@ -126,6 +126,9 @@ def run_query(name: str) -> float:
 SIDE_QUERIES = [
     "q1_pricing_summary", "events_hourly_windows", "doc_ngram_dup_pairs",
     "doc_minhash_lsh_pairs", "ann_topk", "corpus_exact_dedup",
+    # round-4 operator families: temporal joins, window stats, anti join
+    "events_asof_join", "events_user_running_stats",
+    "customers_without_big_orders",
 ]
 
 
