@@ -18,6 +18,10 @@ order-dependent join.
 Scale shape: events ship only the four narrow columns the join needs
 (ids, ts, type, value — pruned at the read); output is streamed per bucket,
 never collected on the driver.
+
+``user_id`` is assumed non-null (the events schema's key contract, same as
+sessionization); null-tolerant key handling for user-supplied keys lives in
+``stages/rel_ops.py``.
 """
 
 from __future__ import annotations

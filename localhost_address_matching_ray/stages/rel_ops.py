@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from localhost_address_matching_ray.functions.hashing import u64_bucket as _key_bucket
@@ -37,12 +38,27 @@ def _membership_join(left, right, *, key, right_key, bucket_width, keep_present)
     out_names = [f.name for f in out_fields]
 
     def tag_left(t: pa.Table) -> pa.Table:
-        keys = t[key].to_numpy(zero_copy_only=False)
+        arr = t[key]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        # fill nulls BEFORE to_numpy: a null-bearing int64 column otherwise
+        # degrades to float64+NaN and loses exactness above 2^53. A NULL key
+        # never matches in SQL (the correlated '=' is never true), so the
+        # fill value only picks a bucket; probe=2 marks the row so per_bucket
+        # applies the null rule (anti keeps it, semi drops it) regardless of
+        # what shares that bucket.
+        null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        keys = arr.fill_null(0).to_numpy(zero_copy_only=False)
+        probe = np.zeros(len(keys), np.int8)
+        probe[null_mask] = 2
         t = t.append_column("kb", pa.array(_key_bucket(keys, bucket_width)))
-        return t.append_column("probe", pa.array(np.zeros(len(keys), np.int8)))
+        return t.append_column("probe", pa.array(probe))
 
     def right_keys(t: pa.Table) -> pa.Table:
-        keys = np.unique(t[right_key].to_numpy(zero_copy_only=False))
+        arr = t[right_key]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        keys = np.unique(arr.drop_null().to_numpy(zero_copy_only=False))
         cols: dict[str, pa.Array] = {}
         for f in out_fields:
             if f.name == key:
@@ -55,9 +71,14 @@ def _membership_join(left, right, *, key, right_key, bucket_width, keep_present)
 
     def per_bucket(g: pa.Table) -> pa.Table:
         probe = g["probe"].to_numpy(zero_copy_only=False)
-        keys = g[key].to_numpy(zero_copy_only=False)
+        arr = g[key]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        keys = arr.fill_null(0).to_numpy(zero_copy_only=False)
         present = np.isin(keys, keys[probe == 1])
         keep = (probe == 0) & (present if keep_present else ~present)
+        if not keep_present:
+            keep |= probe == 2  # NULL left key: NOT EXISTS is vacuously true
         return g.filter(pa.array(keep)).select(out_names)
 
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(

@@ -41,6 +41,25 @@ def test_anti_semi_partition_left(seed):
     assert list(anti.columns) == ["k", "name"]  # probe/bucket columns dropped
 
 
+def test_anti_semi_null_keys_follow_sql_semantics():
+    """A NULL key never satisfies the correlated '=': NOT EXISTS keeps the
+    row, EXISTS drops it; null right keys match nothing. And the int64 keys
+    stay exact (no float64+NaN degradation) — pinned with a key above 2^53
+    whose off-by-one float rounding would flip membership."""
+    big = (1 << 60) + 1  # rounds to a DIFFERENT float64 than (1<<60)
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([None, 7, big, (1 << 60)], pa.int64()),
+        "name": pa.array(["nullrow", "seven", "big1", "big0"], pa.string()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([None, 7, big], pa.int64()),
+    }))
+    anti = anti_join_keys(left, right, key="k", right_key="rk", bucket_width=3).to_pandas()
+    semi = semi_join_keys(left, right, key="k", right_key="rk", bucket_width=3).to_pandas()
+    assert sorted(anti.name) == ["big0", "nullrow"]
+    assert sorted(semi.name) == ["big1", "seven"]
+
+
 def test_anti_join_empty_right_keeps_all():
     left = ray.data.from_arrow(_left_table([1, 2], ["a", "b"]))
     right = ray.data.from_arrow(_right_table([]))
