@@ -1361,6 +1361,45 @@ def events_user_running_stats(sf_dir: str) -> ray.data.Dataset:
     return running_stats_events(ev, bucket_width=bucket_width())
 
 
+#: seed gazetteer over the documents vocabulary (the Turkey.add analog —
+#: a user-supplied token→type map); the SQL mirror lives in the
+#: doc_learned_vocab oracle. Anchored alternations = EntityTagger rules.
+_VOCAB_RULES: list[tuple[str, str]] = [
+    ("OP", r"^(?:join|scan|filter|merge|sort|agg|group|query)$"),
+    ("STRUCT", r"^(?:row|column|table|batch|vector|window|line|part|key|value)$"),
+    ("QUAL", r"^(?:small|big|slow|fast)$"),
+]
+
+
+@register(
+    "doc_learned_vocab",
+    r"""
+WITH toks AS (
+  SELECT regexp_extract_all(text, '\S+') AS tl FROM documents),
+tok AS (SELECT unnest(tl) AS token FROM toks),
+typ AS (
+  SELECT token,
+    CASE WHEN token IN ('join','scan','filter','merge','sort','agg','group','query') THEN 'OP'
+         WHEN token IN ('row','column','table','batch','vector','window','line','part','key','value') THEN 'STRUCT'
+         WHEN token IN ('small','big','slow','fast') THEN 'QUAL'
+         ELSE 'O' END AS type
+  FROM tok)
+SELECT token, type, CAST(count(*) AS BIGINT) AS n
+FROM typ WHERE type <> 'O' GROUP BY token, type HAVING count(*) >= 2""",
+    "training analog, self-labeling iteration (pipelines/train.py): label "
+    "every token with the gazetteer rule set inside actor-pool combiners "
+    "(unique tokens classified once per batch), count (token, type) — the "
+    "shuffle carries vocabulary, not occurrences — keep support >= 2; "
+    "fit_tagger_rules turns the same counts from an ANNOTATED corpus into "
+    "the EntityTagger rule set via a purity vote",
+)
+def doc_learned_vocab(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.pipelines.train import doc_token_type_counts
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return doc_token_type_counts(docs, rules=_VOCAB_RULES, min_count=2)
+
+
 @register(
     "events_funnel",
     """
