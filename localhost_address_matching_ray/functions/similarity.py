@@ -37,8 +37,10 @@ def token_set_jaccard(tokens_a: list[str], tokens_b: list[str]) -> float:
 
 
 def levenshtein(s: str, t: str) -> int:
-    """Classic edit distance (insert/delete/substitute, unit costs) —
-    identical to DuckDB ``levenshtein(s, t)``."""
+    """Classic edit distance (insert/delete/substitute, unit costs) over
+    CODEPOINTS. DuckDB ``levenshtein(s, t)`` edits UTF-8 BYTES, so the two
+    agree on ASCII only — ``levenshtein_batch(unit="byte")`` is the
+    DuckDB-exact kernel."""
     if s == t:
         return 0
     if not s:
@@ -54,6 +56,67 @@ def levenshtein(s: str, t: str) -> int:
             cur.append(min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + (sc != tc)))
         prev = cur
     return prev[-1]
+
+
+def levenshtein_batch(a, b, unit: str = "byte") -> np.ndarray:
+    """Edit distance for N string pairs at once — the vectorized kernel the
+    fuzzy-verify stage runs inside ``map_batches``.
+
+    ``unit="byte"`` (default) edits UTF-8 bytes — bit-identical to DuckDB
+    ``levenshtein``, which is byte-level (``levenshtein('é','e') = 2``), so
+    oracle queries compare exactly on any input. ``unit="codepoint"``
+    matches the scalar ``levenshtein`` above on non-ASCII text (the two
+    agree on ASCII).
+
+    Wagner-Fischer with the column loop vectorized across BOTH the pair axis
+    and the row axis: for column ``j`` let ``t[i] = min(prev[i]+1,
+    prev[i-1]+cost_i)``; the remaining in-row dependency
+    ``cur[i] = min(t[i], cur[i-1]+1)`` telescopes to
+    ``cur[i] = i + cummin(t[k]-k)``, one ``np.minimum.accumulate`` per
+    column. Total work O(max_len(b) · N · max_len(a)) numpy cells with no
+    per-pair Python. Padding needs no sentinel: the cell read for pair ``p``
+    is ``(la_p, lb_p)`` and depends only on real characters of both strings.
+    """
+    a = np.asarray(a, dtype="U")
+    b = np.asarray(b, dtype="U")
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    if unit == "byte":
+        a = np.char.encode(a, "utf-8")
+        b = np.char.encode(b, "utf-8")
+        view_t, width = np.uint8, 1
+    elif unit == "codepoint":
+        view_t, width = np.uint32, 4
+    else:
+        raise ValueError(f"unit must be 'byte' or 'codepoint', got {unit!r}")
+    la = np.char.str_len(a)
+    lb = np.char.str_len(b)
+    ma = max(1, int(la.max()))
+    mb = max(1, int(lb.max()))
+    kind = a.dtype.kind  # 'S' after encode, 'U' otherwise
+    codes_a = (
+        a.astype(f"{kind}{ma}").view(view_t).reshape(n, ma)
+    )
+    codes_b = (
+        b.astype(f"{kind}{mb}").view(view_t).reshape(n, mb)
+    )
+    out = np.where(lb == 0, la, 0).astype(np.int64)
+    idx = np.arange(ma + 1, dtype=np.int32)
+    prev = np.broadcast_to(idx, (n, ma + 1)).copy()
+    rows = np.arange(n)
+    t = np.empty_like(prev)
+    for j in range(1, mb + 1):
+        cost = (codes_a != codes_b[:, j - 1 : j]).astype(np.int32)
+        t[:, 0] = j
+        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=t[:, 1:])
+        cur = np.minimum.accumulate(t - idx, axis=1)
+        cur += idx
+        done = lb == j
+        if done.any():
+            out[done] = cur[rows[done], la[done]]
+        prev, t = cur, prev
+    return out
 
 
 def jaro(s: str, t: str) -> float:

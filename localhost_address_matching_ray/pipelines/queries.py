@@ -29,7 +29,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from localhost_address_matching_ray.functions.similarity import duckdb_round
+from localhost_address_matching_ray.functions.similarity import duckdb_round, levenshtein_batch
 from localhost_address_matching_ray.sources.tables import CORPUS_SQL, corpus_from_documents, read_table
 
 
@@ -268,6 +268,61 @@ def corpus_pair_scores(sf_dir: str) -> ray.data.Dataset:
     return ds.select_columns(
         ["row_id", "lang", "content", "content_sha256_norm"]
     ).groupby("lang").map_groups(per_lang, batch_format="pyarrow")
+
+
+@register(
+    "corpus_fuzzy_pairs",
+    _NORM_CTE + """,
+fuzzy AS (
+  SELECT a.row_id AS u, b.row_id AS v,
+         levenshtein(a.path_canonical, b.path_canonical) AS lev,
+         greatest(len(a.path_canonical), len(b.path_canonical)) AS maxlen
+  FROM norm a JOIN norm b
+    ON a.lang = b.lang AND substr(a.stem, 1, 2) = substr(b.stem, 1, 2)
+   AND a.row_id < b.row_id)
+SELECT u, v, lev, round(1.0 - lev::DOUBLE / maxlen, 6) AS sim
+FROM fuzzy WHERE lev <= 2""",
+    "typo-tolerant fuzzy verify (the address-matching core move): prefix "
+    "blocking on (lang, stem[:2]) then an edit-distance threshold on the "
+    "canonical path, scored as normalized similarity. The Levenshtein DP is "
+    "vectorized across the whole pair batch (levenshtein_batch — one "
+    "cummin per DP column, no per-pair Python) and runs byte-level for "
+    "bit-exact DuckDB parity. Scale: block size is bounded by the prefix "
+    "census like the flagship's blocking stage; at 100 TB lengthen the "
+    "prefix / add a q-gram band key — the verify kernel is unchanged",
+)
+def corpus_fuzzy_pairs(sf_dir: str) -> ray.data.Dataset:
+    ds = _normalized_corpus(sf_dir).select_columns(
+        ["row_id", "lang", "stem", "path_canonical"]
+    )
+
+    def add_block(t: pa.Table) -> pa.Table:
+        return t.append_column("pre2", pc.utf8_slice_codeunits(t["stem"], 0, 2))
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = group["row_id"].to_numpy(zero_copy_only=False).astype("U")
+        paths = group["path_canonical"].to_numpy(zero_copy_only=False).astype("U")
+        order = np.argsort(ids)  # bytewise asc = SQL binary collation
+        ids, paths = ids[order], paths[order]
+        iu, jv = np.triu_indices(len(ids), 1)
+        lev = levenshtein_batch(paths[iu], paths[jv])
+        keep = lev <= 2
+        iu, jv, lev = iu[keep], jv[keep], lev[keep]
+        lens = np.char.str_len(paths)  # codepoints, = SQL len()
+        maxlen = np.maximum(lens[iu], lens[jv]).astype(np.float64)
+        sim = duckdb_round(1.0 - lev / maxlen, 6)
+        return pa.table({
+            "u": pa.array(ids[iu], pa.string()),
+            "v": pa.array(ids[jv], pa.string()),
+            "lev": pa.array(lev, pa.int64()),
+            "sim": pa.array(sim, pa.float64()),
+        })
+
+    return (
+        ds.map_batches(add_block, batch_format="pyarrow")
+        .groupby(["lang", "pre2"])
+        .map_groups(pairs, batch_format="pyarrow")
+    )
 
 
 _CLUSTERS_SQL = _PAIR_CTE.replace("WITH corpus", "WITH RECURSIVE corpus") + """,

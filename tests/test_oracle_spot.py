@@ -35,6 +35,7 @@ SPOT_QUERIES = [
     "customers_without_big_orders",
     "customers_with_urgent_orders",
     "orders_priority_quantiles",
+    "corpus_fuzzy_pairs",
 ]
 
 

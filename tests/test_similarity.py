@@ -9,6 +9,7 @@ from localhost_address_matching_ray.functions.similarity import (
     cosine_topk,
     jaro_winkler,
     levenshtein,
+    levenshtein_batch,
     token_set_jaccard,
 )
 
@@ -32,6 +33,35 @@ def test_levenshtein_matches_duckdb(s, t):
         return
     exp = duckdb.sql(f"select levenshtein('{s}','{t}')").fetchone()[0]
     assert levenshtein(s, t) == exp
+
+
+def test_levenshtein_batch_matches_scalar_and_duckdb():
+    rng = np.random.RandomState(3)
+    alpha = list("abcdé_ /.漢")
+    pairs = [
+        (
+            "".join(rng.choice(alpha, rng.randint(0, 14))),
+            "".join(rng.choice(alpha, rng.randint(0, 14))),
+        )
+        for _ in range(300)
+    ] + WORD_PAIRS
+    a = np.array([p[0] for p in pairs])
+    b = np.array([p[1] for p in pairs])
+    got_cp = levenshtein_batch(a, b, unit="codepoint")
+    assert got_cp.tolist() == [levenshtein(s, t) for s, t in pairs]
+    got_by = levenshtein_batch(a, b)  # byte-level = DuckDB semantics
+    con = duckdb.connect()
+    for (s, t), d in zip(pairs, got_by):
+        if not s or not t:
+            assert d == max(len(s.encode()), len(t.encode()))
+            continue
+        assert d == con.execute("select levenshtein(?, ?)", [s, t]).fetchone()[0]
+
+
+def test_levenshtein_batch_empty_and_bad_unit():
+    assert levenshtein_batch([], []).tolist() == []
+    with pytest.raises(ValueError):
+        levenshtein_batch(["a"], ["b"], unit="word")
 
 
 @pytest.mark.parametrize("s,t", [(s, t) for s, t in WORD_PAIRS if s and t])
