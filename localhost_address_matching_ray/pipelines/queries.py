@@ -1194,6 +1194,139 @@ def orders_priority_quantiles(sf_dir: str) -> ray.data.Dataset:
 
 
 @register(
+    "orders_rollup",
+    """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       count(*) AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""",
+    "multi-level aggregation (GROUP BY ROLLUP): ONE distributed shuffle at "
+    "the finest (priority, status) grain with per-batch combiners, then the "
+    "coarser grouping sets are derived from that aggregate — which is "
+    "bounded by |priorities|×|statuses| (the key-domain product, independent "
+    "of row count), so the driver fold is O(grouping sets), never O(data). "
+    "Money summed in integer cents so accumulation order can't drift",
+)
+def orders_rollup(sf_dir: str) -> ray.data.Dataset:
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        prio = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        stat = t["o_orderstatus"].to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        uniq, inv = np.unique(
+            np.rec.fromarrays([prio, stat], names=["p", "s"]), return_inverse=True
+        )
+        n = np.bincount(inv, minlength=len(uniq))
+        # integer-valued float64 accumulation is exact below 2^53 cents
+        tc = np.bincount(inv, weights=cents, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": pa.array(uniq["p"], pa.string()),
+            "o_orderstatus": pa.array(uniq["s"], pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "total_cents": pa.array(tc, pa.int64()),
+        })
+
+    fine = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Sum("n", alias_name="n"), Sum("total_cents", alias_name="total_cents"))
+    )
+    # key-domain-bounded collect (≤ |priorities|×|statuses| rows by
+    # construction — the aggregate, not the data); Ray's groupby emits
+    # schemaless empty blocks for empty hash partitions, drop them
+    parts = [t for t in ray.get(fine.to_arrow_refs()) if t.num_columns > 0]
+    if not parts or sum(t.num_rows for t in parts) == 0:
+        # SQL ROLLUP over empty input still emits the () grouping set:
+        # one grand-total row with count 0 and a NULL sum
+        return ray.data.from_arrow(pa.table({
+            "o_orderpriority": pa.array(["ALL"], pa.string()),
+            "o_orderstatus": pa.array(["ALL"], pa.string()),
+            "n": pa.array([0], pa.int64()),
+            "total_cents": pa.array([None], pa.int64()),
+        }))
+    ft = pa.concat_tables(parts)
+
+    def level(keys: list[str]) -> pa.Table:
+        p = ft["o_orderpriority"].to_numpy(zero_copy_only=False)
+        s = ft["o_orderstatus"].to_numpy(zero_copy_only=False)
+        n = ft["n"].to_numpy(zero_copy_only=False)
+        tc = ft["total_cents"].to_numpy(zero_copy_only=False)
+        gp = p if "p" in keys else np.full(len(p), "ALL")
+        gs = s if "s" in keys else np.full(len(p), "ALL")
+        uniq, inv = np.unique(
+            np.rec.fromarrays([gp, gs], names=["p", "s"]), return_inverse=True
+        )
+        return pa.table({
+            "o_orderpriority": pa.array(uniq["p"], pa.string()),
+            "o_orderstatus": pa.array(uniq["s"], pa.string()),
+            "n": pa.array(np.bincount(inv, weights=n).astype(np.int64), pa.int64()),
+            "total_cents": pa.array(
+                np.bincount(inv, weights=tc).astype(np.int64), pa.int64()
+            ),
+        })
+
+    rolled = pa.concat_tables([level(["p", "s"]), level(["p"]), level([])])
+    return ray.data.from_arrow(rolled)
+
+
+#: the event-type domain is part of the pivot's schema contract (wide
+#: columns are a schema, not data); unknown types still count in n_total
+_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+@register(
+    "events_pivot_daily",
+    """
+SELECT date_trunc('day', ts) AS day,
+"""
+    + ",\n".join(
+        f"       count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    + """,
+       count(*) AS n_total
+FROM events GROUP BY 1""",
+    "pivot (long → wide conditional aggregation): per-batch combiner builds "
+    "the wide per-day counts, then one tiny groupby(day) sums them — the "
+    "shuffle carries |days|×|types| ints per batch, never event rows. The "
+    "type domain is declared (a pivot's columns are schema); at 100 TB the "
+    "same shape holds because days×types is small regardless of row count",
+)
+def events_pivot_daily(sf_dir: str) -> ray.data.Dataset:
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        # int64 µs keys end-to-end (no numpy datetime precision coercion)
+        day = (
+            pc.floor_temporal(t["ts"], unit="day")
+            .cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        udays, inv = np.unique(day, return_inverse=True)
+        cols: dict[str, pa.Array] = {
+            "day": pa.array(udays, pa.int64()).cast(pa.timestamp("us"))
+        }
+        for name in _EVENT_TYPES:
+            cols[f"n_{name}"] = pa.array(
+                np.bincount(inv[et == name], minlength=len(udays)), pa.int64()
+            )
+        cols["n_total"] = pa.array(np.bincount(inv, minlength=len(udays)), pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in _EVENT_TYPES]
+    aggs.append(Sum("n_total", alias_name="n_total"))
+    return ev.map_batches(partial, batch_format="pyarrow").groupby("day").aggregate(*aggs)
+
+
+@register(
     "customers_without_big_orders",
     """
 SELECT c_custkey, c_name, c_acctbal

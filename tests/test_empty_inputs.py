@@ -60,6 +60,12 @@ def test_every_query_survives_empty_tables(empty_sf_dir):
                 assert n == 1, f"{name} returned {n} rows from empty inputs"
                 row = res.to_pandas().iloc[0]
                 assert list(row) == [0, 0, 0, 0], f"{name} nonzero on empty: {list(row)}"
+            elif name == "orders_rollup":
+                # SQL ROLLUP over an empty table still emits the () grouping
+                # set: one ('ALL','ALL', 0, NULL) grand-total row
+                assert n == 1, f"{name} returned {n} rows from empty inputs"
+                row = res.to_pandas().iloc[0]
+                assert row["n"] == 0 and pd.isna(row["total_cents"]), list(row)
             elif name != "linkage_fixture_clusters":
                 assert n == 0, f"{name} returned {n} rows from empty inputs"
         except Exception as ex:  # collect all, report once

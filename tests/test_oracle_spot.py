@@ -36,6 +36,8 @@ SPOT_QUERIES = [
     "customers_with_urgent_orders",
     "orders_priority_quantiles",
     "corpus_fuzzy_pairs",
+    "orders_rollup",
+    "events_pivot_daily",
 ]
 
 
