@@ -483,6 +483,43 @@ def doc_top_terms(sf_dir: str) -> ray.data.Dataset:
     return top_terms(docs, k=3)
 
 
+@register(
+    "doc_bigram_lift",
+    f"""
+WITH toks AS (
+  SELECT string_split(lower({_DOCNORM}), ' ') AS ts FROM documents),
+uni AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM uni),
+bi AS (
+  SELECT struct_extract(pr, 1) AS x, struct_extract(pr, 2) AS y, count(*) AS c
+  FROM (SELECT unnest(list_zip(ts, ts[2:])) AS pr FROM toks)
+  WHERE struct_extract(pr, 2) IS NOT NULL GROUP BY 1, 2),
+btot AS (SELECT sum(c) AS n FROM bi)
+SELECT b.x, b.y, b.c,
+       round((b.c::DOUBLE / bt.n) / ((ux.c::DOUBLE / t.n) * (uy.c::DOUBLE / t.n)), 6) AS lift
+FROM bi b
+CROSS JOIN tot t CROSS JOIN btot bt
+JOIN uni ux ON ux.tok = b.x
+JOIN uni uy ON uy.tok = b.y
+WHERE b.c >= 5
+ORDER BY lift DESC, b.x, b.y
+LIMIT 20""",
+    "collocation mining: top-20 adjacent bigrams by pointwise lift "
+    "p(x,y)/(p(x)p(y)) with count ≥ 5 — PMI without the log (monotone, so "
+    "the ranking is PMI's, and the bare ratio is IEEE-exact on both sides). "
+    "One text pass emitting pre-aggregated counts; vocab-sized groupby; "
+    "distributed joins + sort/limit — no driver collect (stages/docs_ops."
+    "bigram_lift)",
+)
+def doc_bigram_lift(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.docs_ops import bigram_lift
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return bigram_lift(docs, min_count=5, k=20)
+
+
 def _langid_sql() -> str:
     from localhost_address_matching_ray.functions.text import LANG_MARKERS
 

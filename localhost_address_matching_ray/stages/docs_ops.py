@@ -1189,3 +1189,131 @@ def _top_terms_join(
         })
 
     return joined.groupby("doc_id").map_groups(pick_topk, batch_format="pyarrow")
+
+
+_BIGRAM_LIFT_SCHEMA = pa.schema([
+    ("x", pa.string()), ("y", pa.string()),
+    ("c", pa.int64()), ("lift", pa.float64()),
+])
+
+
+def bigram_lift(
+    docs: ray.data.Dataset, min_count: int = 5, k: int = 20
+) -> ray.data.Dataset:
+    """Collocation mining: top-``k`` adjacent-token bigrams ranked by
+    pointwise lift ``p(x,y) / (p(x)·p(y))`` — PMI without the log (``ln``
+    is monotone so the ranking IS the PMI ranking, and the bare ratio is
+    pure IEEE mult/div, bit-identical between Ray and the DuckDB oracle
+    where two libm ``ln`` implementations need not agree). Ties break by
+    (x, y) byte order.
+
+    Scale shape: ONE pass over the text — each batch emits pre-aggregated
+    (kind, x, y) → c partial counts (kind 'u' rows carry unigrams with
+    y=''), so the only data-sized exchange is a vocab-sized groupby.
+    Totals are a 2-row aggregate; attaching unigram counts to surviving
+    bigrams is two distributed hash joins against the vocab-sized side;
+    ranking is a distributed sort + limit. No driver collect anywhere.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from localhost_address_matching_ray.functions.normalize import normalize_content_arrow
+    from localhost_address_matching_ray.stages.cluster import _collect, _partitions_for
+
+    def partial(batch: pa.Table) -> pa.Table:
+        norm = pc.utf8_lower(normalize_content_arrow(batch["text"]))
+        lists = pc.split_pattern(norm, pattern=" ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        vals = lists.flatten()
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        enc = vals.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dic = enc.dictionary
+        n_u = len(dic)
+        ucnt = np.bincount(idx, minlength=n_u)
+        n = len(idx)
+        # pair (i, i+1) is a bigram iff it does not straddle a doc boundary
+        valid = np.ones(max(n - 1, 0), dtype=bool)
+        ends = offs[1:-1] - 1
+        ends = ends[(ends >= 0) & (ends < n - 1)]
+        valid[ends] = False
+        bx, by = idx[:-1][valid], idx[1:][valid]
+        bkey, bcnt = np.unique(bx * n_u + by, return_counts=True)
+        kind = np.concatenate(
+            (np.full(n_u, "u"), np.full(len(bkey), "b"))
+        )
+        xs = pa.concat_arrays([
+            dic.combine_chunks() if isinstance(dic, pa.ChunkedArray) else dic,
+            dic.take(pa.array(bkey // n_u)),
+        ])
+        ys = pa.concat_arrays([
+            pa.array(np.full(n_u, ""), pa.string()),
+            dic.take(pa.array(bkey % n_u)),
+        ])
+        return pa.table({
+            "kind": pa.array(kind, pa.string()),
+            "x": xs,
+            "y": ys,
+            "c": pa.array(np.concatenate((ucnt, bcnt)), pa.int64()),
+        })
+
+    if docs.count() == 0:
+        return ray.data.from_arrow(_BIGRAM_LIFT_SCHEMA.empty_table())
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind", "x", "y"])
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()
+    )
+    totals = _collect(
+        counts.groupby("kind").aggregate(Sum("c", alias_name="t")),
+        pa.schema([("kind", pa.string()), ("t", pa.int64())]),
+    )
+    tmap = dict(zip(
+        totals["kind"].to_pylist(),
+        totals["t"].to_numpy(zero_copy_only=False).astype(np.float64),
+    ))
+    if "b" not in tmap:
+        return ray.data.from_arrow(_BIGRAM_LIFT_SCHEMA.empty_table())
+    tot, btot = tmap["u"], tmap["b"]
+
+    def keep_bigrams(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["kind"], "b"), pc.greater_equal(t["c"], min_count))
+        return t.filter(m).select(["x", "y", "c"])
+
+    def keep_unigrams(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], "u"))
+        return pa.table({"tok": t["x"], "cu": t["c"]})
+
+    bi = counts.map_batches(keep_bigrams, batch_format="pyarrow")
+    n_bi = bi.count()
+    if n_bi == 0:
+        return ray.data.from_arrow(_BIGRAM_LIFT_SCHEMA.empty_table())
+    uni = counts.map_batches(keep_unigrams, batch_format="pyarrow")
+    parts = _partitions_for(n_bi)
+    j = bi.join(uni, join_type="inner", num_partitions=parts, on=("x",), right_on=("tok",))
+
+    def rename_cx(t: pa.Table) -> pa.Table:
+        return t.select(["x", "y", "c", "cu"]).rename_columns(["x", "y", "c", "cx"])
+
+    j = j.map_batches(rename_cx, batch_format="pyarrow")
+    j = j.join(uni, join_type="inner", num_partitions=parts, on=("y",), right_on=("tok",))
+
+    def score(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cx = t["cx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cy = t["cu"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lift = duckdb_round((c / btot) / ((cx / tot) * (cy / tot)), 6)
+        return pa.table({
+            "x": t["x"], "y": t["y"],
+            "c": t["c"].cast(pa.int64()),
+            "lift": pa.array(lift, pa.float64()),
+        })
+
+    return (
+        j.map_batches(score, batch_format="pyarrow")
+        .sort(["lift", "x", "y"], descending=[True, False, False])
+        .limit(k)
+    )

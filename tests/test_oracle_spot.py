@@ -38,6 +38,7 @@ SPOT_QUERIES = [
     "corpus_fuzzy_pairs",
     "orders_rollup",
     "events_pivot_daily",
+    "doc_bigram_lift",
 ]
 
 
