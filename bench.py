@@ -129,6 +129,10 @@ SIDE_QUERIES = [
     # round-4 operator families: temporal joins, window stats, anti join
     "events_asof_join", "events_user_running_stats",
     "customers_without_big_orders",
+    # round-4 session-3 families: fuzzy edit-distance verify, rollup,
+    # pivot, collocations
+    "corpus_fuzzy_pairs", "orders_rollup", "events_pivot_daily",
+    "doc_bigram_lift",
 ]
 
 
