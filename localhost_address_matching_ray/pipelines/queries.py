@@ -29,6 +29,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from localhost_address_matching_ray.functions.phonetic import soundex_batch, soundex_sql
 from localhost_address_matching_ray.functions.similarity import duckdb_round, levenshtein_batch
 from localhost_address_matching_ray.sources.tables import CORPUS_SQL, corpus_from_documents, read_table
 
@@ -1227,6 +1228,46 @@ def orders_priority_quantiles(sf_dir: str) -> ray.data.Dataset:
         orders.map_batches(hist, batch_format="pyarrow")
         .groupby("o_orderpriority")
         .map_groups(quantiles, batch_format="pyarrow")
+    )
+
+
+@register(
+    "part_soundex_blocks",
+    f"""
+WITH s AS (SELECT p_name, {soundex_sql('p_name')} AS sdx FROM part)
+SELECT sdx, count(*) AS n, count(DISTINCT p_name) AS n_names
+FROM s GROUP BY sdx""",
+    "phonetic blocking census: American Soundex key per part name (the "
+    "classic sounds-alike blocking family, complementing exact-stem and "
+    "LSH blocking) → block size + distinct-name count. soundex_batch is a "
+    "per-column numpy state machine over the padded byte matrix — no "
+    "per-string Python — and the oracle renders the identical algorithm "
+    "as an RE2-safe regexp_replace chain (functions/phonetic.py). "
+    "Count-distinct is a two-level groupby: per-batch (key,name) dedup "
+    "partials, then a key-level fold — the shuffle carries distinct "
+    "pairs, not rows",
+)
+def part_soundex_blocks(sf_dir: str) -> ray.data.Dataset:
+    parts = read_table(sf_dir, "part", columns=["p_name"])
+
+    def key(t: pa.Table) -> pa.Table:
+        names = t["p_name"].to_numpy(zero_copy_only=False).astype("U")
+        sdx = soundex_batch(names)
+        uniq, inv = np.unique(
+            np.rec.fromarrays([sdx, names], names=["k", "m"]), return_inverse=True
+        )
+        return pa.table({
+            "sdx": pa.array(uniq["k"], pa.string()),
+            "p_name": pa.array(uniq["m"], pa.string()),
+            "cnt": pa.array(np.bincount(inv, minlength=len(uniq)), pa.int64()),
+        })
+
+    return (
+        parts.map_batches(key, batch_format="pyarrow")
+        .groupby(["sdx", "p_name"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("sdx")
+        .aggregate(Sum("cnt", alias_name="n"), Count(alias_name="n_names"))
     )
 
 

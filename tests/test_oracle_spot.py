@@ -39,6 +39,7 @@ SPOT_QUERIES = [
     "orders_rollup",
     "events_pivot_daily",
     "doc_bigram_lift",
+    "part_soundex_blocks",
 ]
 
 

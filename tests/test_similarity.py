@@ -58,6 +58,38 @@ def test_levenshtein_batch_matches_scalar_and_duckdb():
         assert d == con.execute("select levenshtein(?, ?)", [s, t]).fetchone()[0]
 
 
+def test_soundex_official_vectors():
+    from localhost_address_matching_ray.functions.phonetic import soundex_batch
+
+    vec = {
+        "Robert": "R163", "Rupert": "R163", "Tymczak": "T522",
+        "Pfister": "P236", "Ashcraft": "A261", "Ashcroft": "A261",
+        "Honeyman": "H555", "Williams": "W452", "Jackson": "J250",
+        "Washington": "W252", "Lee": "L000", "Gutierrez": "G362",
+        "O'Brien": "O165", "": "", "123": "", "hhh": "H000",
+    }
+    got = soundex_batch(list(vec))
+    assert got.tolist() == list(vec.values())
+
+
+def test_soundex_batch_matches_sql_mirror():
+    from localhost_address_matching_ray.functions.phonetic import (
+        soundex_batch,
+        soundex_sql,
+    )
+
+    rng = np.random.RandomState(17)
+    alpha = list("abcdXYZhw '-129é ")
+    names = [
+        "".join(rng.choice(alpha, rng.randint(0, 16))) for _ in range(600)
+    ] + ["Hwang", "Wszystko", "aeiou", "é", "éb", "cold widget"]
+    con = duckdb.connect()
+    con.execute("create table t(s varchar)")
+    con.executemany("insert into t values (?)", [(s,) for s in names])
+    sql = [r[0] for r in con.execute(f"select {soundex_sql('s')} from t").fetchall()]
+    assert soundex_batch(names).tolist() == sql
+
+
 def test_levenshtein_batch_empty_and_bad_unit():
     assert levenshtein_batch([], []).tolist() == []
     with pytest.raises(ValueError):
