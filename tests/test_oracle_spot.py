@@ -40,6 +40,7 @@ SPOT_QUERIES = [
     "events_pivot_daily",
     "doc_bigram_lift",
     "part_soundex_blocks",
+    "part_fuzzy_matches",
 ]
 
 
