@@ -305,11 +305,16 @@ def corpus_fuzzy_pairs(sf_dir: str) -> ray.data.Dataset:
         paths = group["path_canonical"].to_numpy(zero_copy_only=False).astype("U")
         order = np.argsort(ids)  # bytewise asc = SQL binary collation
         ids, paths = ids[order], paths[order]
+        lens = np.char.str_len(paths)  # codepoints, = SQL len()
         iu, jv = np.triu_indices(len(ids), 1)
+        # exact prescreen: byte-lev ≥ |codepoint-length diff| (each byte
+        # edit changes the non-continuation-byte count — the codepoint
+        # count — by at most 1), so diff > 2 can never pass the threshold
+        cand = np.abs(lens[iu] - lens[jv]) <= 2
+        iu, jv = iu[cand], jv[cand]
         lev = levenshtein_batch(paths[iu], paths[jv])
         keep = lev <= 2
         iu, jv, lev = iu[keep], jv[keep], lev[keep]
-        lens = np.char.str_len(paths)  # codepoints, = SQL len()
         maxlen = np.maximum(lens[iu], lens[jv]).astype(np.float64)
         sim = duckdb_round(1.0 - lev / maxlen, 6)
         return pa.table({
@@ -319,8 +324,15 @@ def corpus_fuzzy_pairs(sf_dir: str) -> ray.data.Dataset:
             "sim": pa.array(sim, pa.float64()),
         })
 
+    from localhost_address_matching_ray.config import bucket_width
+
+    # map_groups parallelism follows the sort-shuffle's block count, which
+    # follows INPUT blocks — a small input coalesces to 1-2 blocks and the
+    # O(block²) verify runs serial. Pre-spread the narrow keyed stream
+    # (≈60 B/row) to a cluster-relative width so the pair DP parallelizes.
     return (
         ds.map_batches(add_block, batch_format="pyarrow")
+        .repartition(bucket_width())
         .groupby(["lang", "pre2"])
         .map_groups(pairs, batch_format="pyarrow")
     )
