@@ -1180,6 +1180,36 @@ def supplier_nation_stats(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(lambda t: _round_col(t, "total_acctbal", 4), batch_format="pyarrow")
 
 
+def _priority_cents_hist(t: pa.Table) -> pa.Table:
+    """Per-batch (priority, cents) histogram combiner shared by the disc
+    and cont grouped-quantile queries: prices are exact 2-dp doubles, so
+    the histogram is bounded by distinct cent values, not row count."""
+    prio = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+    cents = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+    uniq, inv = np.unique(
+        np.rec.fromarrays([prio, cents], names=["p", "c"]), return_inverse=True
+    )
+    cnt = np.bincount(inv, minlength=len(uniq))
+    return pa.table({
+        "o_orderpriority": pa.array(uniq["p"], pa.string()),
+        "cents": pa.array(uniq["c"], pa.int64()),
+        "cnt": pa.array(cnt, pa.int64()),
+    })
+
+
+def _hist_cum(g: pa.Table):
+    """Collapse a group's partial histograms → (sorted cents, cumulative
+    counts at each bin end, total n)."""
+    cents = g["cents"].to_numpy(zero_copy_only=False)
+    cnt = g["cnt"].to_numpy(zero_copy_only=False)
+    order = np.argsort(cents, kind="mergesort")
+    cents, cnt = cents[order], cnt[order]
+    uniq, start = np.unique(cents, return_index=True)
+    csum = np.cumsum(cnt)
+    tot = np.concatenate((csum[start[1:] - 1], [csum[-1]]))
+    return uniq, tot, int(csum[-1])
+
+
 @register(
     "orders_priority_quantiles",
     """
@@ -1199,19 +1229,7 @@ FROM orders GROUP BY o_orderpriority""",
 def orders_priority_quantiles(sf_dir: str) -> ray.data.Dataset:
     orders = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
     qs = (0.25, 0.50, 0.90)
-
-    def hist(t: pa.Table) -> pa.Table:
-        prio = t["o_orderpriority"].to_numpy(zero_copy_only=False)
-        cents = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
-        uniq, inv = np.unique(
-            np.rec.fromarrays([prio, cents], names=["p", "c"]), return_inverse=True
-        )
-        cnt = np.bincount(inv, minlength=len(uniq))
-        return pa.table({
-            "o_orderpriority": pa.array(uniq["p"], pa.string()),
-            "cents": pa.array(uniq["c"], pa.int64()),
-            "cnt": pa.array(cnt, pa.int64()),
-        })
+    hist = _priority_cents_hist
 
     def quantiles(g: pa.Table) -> pa.Table:
         cents = g["cents"].to_numpy(zero_copy_only=False)
@@ -1240,6 +1258,54 @@ def orders_priority_quantiles(sf_dir: str) -> ray.data.Dataset:
         orders.map_batches(hist, batch_format="pyarrow")
         .groupby("o_orderpriority")
         .map_groups(quantiles, batch_format="pyarrow")
+    )
+
+
+@register(
+    "orders_priority_quantiles_cont",
+    """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.50) AS p50,
+       quantile_cont(o_totalprice, 0.90) AS p90,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority""",
+    "grouped INTERPOLATED quantiles from the same cents-histogram combiner "
+    "as the disc variant (no raw-row co-location): rank p = q·(n−1), "
+    "result = v[⌊p⌋]·(1−frac) + v[⌈p⌉]·frac — DuckDB quantile_cont's exact "
+    "interpolation arithmetic (NOT lo+(hi−lo)·frac, which differs in the "
+    "last ulp), reproduced on the cumulative-count walk by fetching the "
+    "two bracketing order statistics from the histogram",
+)
+def orders_priority_quantiles_cont(sf_dir: str) -> ray.data.Dataset:
+    orders = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    qs = (0.25, 0.50, 0.90)
+
+    def quantiles_cont(g: pa.Table) -> pa.Table:
+        uniq, tot, n = _hist_cum(g)
+
+        def at_rank(r: int) -> float:
+            return uniq[np.searchsorted(tot, r, side="right")] / 100.0
+
+        vals = {}
+        for q in qs:
+            p = q * (n - 1)
+            lo, hi = int(np.floor(p)), int(np.ceil(p))
+            vlo = at_rank(lo)
+            frac = p - lo
+            vals[q] = vlo if hi == lo else vlo * (1.0 - frac) + at_rank(hi) * frac
+        return pa.table({
+            "o_orderpriority": pa.array([g["o_orderpriority"][0].as_py()], pa.string()),
+            "p25": pa.array([vals[0.25]], pa.float64()),
+            "p50": pa.array([vals[0.50]], pa.float64()),
+            "p90": pa.array([vals[0.90]], pa.float64()),
+            "n": pa.array([n], pa.int64()),
+        })
+
+    return (
+        orders.map_batches(_priority_cents_hist, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(quantiles_cont, batch_format="pyarrow")
     )
 
 

@@ -41,6 +41,7 @@ SPOT_QUERIES = [
     "doc_bigram_lift",
     "part_soundex_blocks",
     "part_fuzzy_matches",
+    "orders_priority_quantiles_cont",
 ]
 
 
