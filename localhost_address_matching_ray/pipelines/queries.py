@@ -1531,6 +1531,73 @@ def events_pivot_daily(sf_dir: str) -> ray.data.Dataset:
 
 
 @register(
+    "events_cumulative_users",
+    """
+WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS d FROM events GROUP BY 1),
+c AS (SELECT d, count(*) AS new_users FROM f GROUP BY 1)
+SELECT d AS day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users FROM c""",
+    "EXACT running distinct-user count per day — the op that sinks naive "
+    "engines (a distinct-set per window) done as first-touch transform: "
+    "per-batch (user → min day) partials, one user-keyed Min groupby, a "
+    "day-keyed count, then a cumsum over the day-domain-bounded result "
+    "(O(days) driver fold, never a per-day set). No user's events need "
+    "co-location beyond the Min aggregate",
+)
+def events_cumulative_users(sf_dir: str) -> ray.data.Dataset:
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def first_touch(t: pa.Table) -> pa.Table:
+        day = (
+            pc.floor_temporal(t["ts"], unit="day")
+            .cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        mind = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(mind, inv, day)
+        return pa.table({
+            "user_id": pa.array(uniq, pa.int64()),
+            "d": pa.array(mind, pa.int64()),
+        })
+
+    def per_day(t: pa.Table) -> pa.Table:
+        d = t["d"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(d, return_inverse=True)
+        return pa.table({
+            "d": pa.array(uniq, pa.int64()),
+            "new_users": pa.array(np.bincount(inv, minlength=len(uniq)), pa.int64()),
+        })
+
+    daily = (
+        ev.map_batches(first_touch, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("d", alias_name="d"))
+        .map_batches(per_day, batch_format="pyarrow")
+        .groupby("d")
+        .aggregate(Sum("new_users", alias_name="new_users"))
+    )
+    # day-domain-bounded collect (≤ |days| rows) for the running sum
+    parts = [t for t in ray.get(daily.to_arrow_refs()) if t.num_columns > 0]
+    if not parts or sum(t.num_rows for t in parts) == 0:
+        return ray.data.from_arrow(pa.schema([
+            ("day", pa.timestamp("us")), ("new_users", pa.int64()),
+            ("cum_users", pa.int64()),
+        ]).empty_table())
+    ft = pa.concat_tables(parts)
+    d = ft["d"].to_numpy(zero_copy_only=False)
+    nu = ft["new_users"].to_numpy(zero_copy_only=False)
+    order = np.argsort(d, kind="mergesort")
+    d, nu = d[order], nu[order]
+    return ray.data.from_arrow(pa.table({
+        "day": pa.array(d, pa.int64()).cast(pa.timestamp("us")),
+        "new_users": pa.array(nu, pa.int64()),
+        "cum_users": pa.array(np.cumsum(nu), pa.int64()),
+    }))
+
+
+@register(
     "customers_without_big_orders",
     """
 SELECT c_custkey, c_name, c_acctbal

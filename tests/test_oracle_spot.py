@@ -42,6 +42,7 @@ SPOT_QUERIES = [
     "part_soundex_blocks",
     "part_fuzzy_matches",
     "orders_priority_quantiles_cont",
+    "events_cumulative_users",
 ]
 
 
