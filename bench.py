@@ -132,7 +132,8 @@ SIDE_QUERIES = [
     # round-4 session-3 families: fuzzy edit-distance verify, rollup,
     # pivot, collocations
     "corpus_fuzzy_pairs", "orders_rollup", "events_pivot_daily",
-    "doc_bigram_lift", "part_soundex_blocks",
+    "doc_bigram_lift", "part_soundex_blocks", "part_fuzzy_matches",
+    "orders_priority_quantiles_cont", "events_cumulative_users",
 ]
 
 

@@ -85,9 +85,9 @@ def levenshtein_batch(a, b, unit: str = "byte") -> np.ndarray:
     if unit == "byte":
         a = np.char.encode(a, "utf-8")
         b = np.char.encode(b, "utf-8")
-        view_t, width = np.uint8, 1
+        view_t = np.uint8
     elif unit == "codepoint":
-        view_t, width = np.uint32, 4
+        view_t = np.uint32
     else:
         raise ValueError(f"unit must be 'byte' or 'codepoint', got {unit!r}")
     la = np.char.str_len(a)

@@ -1232,16 +1232,7 @@ def orders_priority_quantiles(sf_dir: str) -> ray.data.Dataset:
     hist = _priority_cents_hist
 
     def quantiles(g: pa.Table) -> pa.Table:
-        cents = g["cents"].to_numpy(zero_copy_only=False)
-        cnt = g["cnt"].to_numpy(zero_copy_only=False)
-        order = np.argsort(cents, kind="mergesort")
-        cents, cnt = cents[order], cnt[order]
-        # partial histograms from different batches repeat cent values;
-        # collapse before the cumulative walk
-        uniq, start = np.unique(cents, return_index=True)
-        csum = np.cumsum(cnt)
-        tot = np.concatenate((csum[start[1:] - 1], [csum[-1]]))  # cum count at end of each cent bin
-        n = int(csum[-1])
+        uniq, tot, n = _hist_cum(g)
         vals = {}
         for q in qs:
             idx = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
@@ -1386,12 +1377,18 @@ def part_fuzzy_matches(sf_dir: str) -> ray.data.Dataset:
             "lev": pa.array(lev[keep], pa.int64()),
         })
 
+    from localhost_address_matching_ray.config import bucket_width
+
+    # same pre-spread as corpus_fuzzy_pairs: the dedup aggregate coalesces
+    # the name dictionary to a couple of blocks and map_groups parallelism
+    # follows block count, so spread the O(block²) verify cluster-wide
     return (
         parts.map_batches(uniq, batch_format="pyarrow")
         .groupby("p_name")
         .aggregate(Count(alias_name="_n"))
         .select_columns(["p_name"])
         .map_batches(key, batch_format="pyarrow")
+        .repartition(bucket_width())
         .groupby("sdx")
         .map_groups(pairs, batch_format="pyarrow")
     )
