@@ -1259,8 +1259,8 @@ def bigram_lift(
             "c": pa.array(np.concatenate((ucnt, bcnt)), pa.int64()),
         })
 
-    if docs.count() == 0:
-        return ray.data.from_arrow(_BIGRAM_LIFT_SCHEMA.empty_table())
+    # no docs.count() emptiness pre-check — that would cost a full extra
+    # pass over the text; the "b" ∉ totals guard below covers empty input
     counts = (
         docs.map_batches(partial, batch_format="pyarrow")
         .groupby(["kind", "x", "y"])
