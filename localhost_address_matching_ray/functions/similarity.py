@@ -191,3 +191,103 @@ def cosine_topk(
     qi = np.repeat(np.arange(len(sims)), k)
     ci = top.ravel()
     return qi, ci, sims[qi, ci]
+
+
+def jaro_batch(a, b, unit: str = "byte") -> np.ndarray:
+    """Jaro similarity for N string pairs at once — vectorized across the
+    pair axis like ``levenshtein_batch``.
+
+    ``unit="byte"`` is bit-identical to DuckDB ``jaro_similarity``, which
+    matches UTF-8 BYTES (``jaro('é','e')`` treats 'é' as two symbols) and
+    returns 0.0 when either side is empty (even ``('','')``). The matching
+    loop runs over the columns of the shorter-padded matrix: for source
+    position ``i`` every pair finds its FIRST unmatched target byte inside
+    the Jaro window (one eligible-mask + argmax per column, no per-pair
+    Python); half-transpositions come from one scatter-gather of the
+    matched symbols. Work is O(max_len(a) · N · max_len(b)) numpy cells.
+    """
+    a = np.asarray(a, dtype="U")
+    b = np.asarray(b, dtype="U")
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, np.float64)
+    if unit == "byte":
+        a = np.char.encode(a, "utf-8")
+        b = np.char.encode(b, "utf-8")
+        view_t = np.uint8
+    elif unit == "codepoint":
+        view_t = np.uint32
+    else:
+        raise ValueError(f"unit must be 'byte' or 'codepoint', got {unit!r}")
+    la = np.char.str_len(a).astype(np.int64)
+    lb = np.char.str_len(b).astype(np.int64)
+    ma = max(1, int(la.max()))
+    mb = max(1, int(lb.max()))
+    kind = a.dtype.kind  # 'S' after encode, 'U' otherwise
+    codes_a = a.astype(f"{kind}{ma}").view(view_t).reshape(n, ma)
+    codes_b = b.astype(f"{kind}{mb}").view(view_t).reshape(n, mb)
+    window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    jb = np.arange(mb, dtype=np.int64)
+    s_match = np.zeros((n, ma), dtype=bool)
+    t_match = np.zeros((n, mb), dtype=bool)
+    rows = np.arange(n)
+    for i in range(ma):
+        lo = np.maximum(i - window, 0)[:, None]
+        hi = np.minimum(lb, i + window + 1)[:, None]
+        elig = (jb >= lo) & (jb < hi) & ~t_match
+        elig &= codes_b == codes_a[:, i : i + 1]
+        elig &= (la > i)[:, None]
+        hit = elig.any(axis=1)
+        s_match[:, i] = hit
+        t_match[rows[hit], elig.argmax(axis=1)[hit]] = True
+    m = s_match.sum(axis=1).astype(np.int64)
+    mm = max(1, int(m.max()))
+    # gather matched symbols of each side in order into an (n, mm) pad;
+    # positions past m stay 0 on BOTH sides so they never count as mismatch
+    sm = np.zeros((n, mm), dtype=view_t)
+    tm = np.zeros((n, mm), dtype=view_t)
+    rs, cs = np.nonzero(s_match)
+    sm[rs, (np.cumsum(s_match, axis=1) - 1)[rs, cs]] = codes_a[rs, cs]
+    rt, ct = np.nonzero(t_match)
+    tm[rt, (np.cumsum(t_match, axis=1) - 1)[rt, ct]] = codes_b[rt, ct]
+    trans = (sm != tm).sum(axis=1) // 2
+    mf = m.astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        j = (mf / la + mf / lb + (mf - trans) / mf) / 3.0
+    return np.where(m == 0, 0.0, j)
+
+
+def jaro_winkler_batch(
+    a,
+    b,
+    unit: str = "byte",
+    prefix_weight: float = 0.1,
+    boost_threshold: float = 0.7,
+) -> np.ndarray:
+    """Jaro-Winkler for N pairs — bit-identical to DuckDB
+    ``jaro_winkler_similarity`` at the defaults (byte symbols, prefix bonus
+    capped at 4 symbols and applied only when jaro > 0.7, empty side → 0.0;
+    property-tested pair-for-pair in ``test_similarity.py``). The scalar
+    ``jaro_winkler`` above keeps the unthresholded variant the flagship
+    stem assist uses."""
+    j = jaro_batch(a, b, unit=unit)
+    a = np.asarray(a, dtype="U")
+    b = np.asarray(b, dtype="U")
+    n = len(a)
+    if n == 0:
+        return j
+    if unit == "byte":
+        a = np.char.encode(a, "utf-8")
+        b = np.char.encode(b, "utf-8")
+        view_t = np.uint8
+    else:
+        view_t = np.uint32
+    la = np.char.str_len(a).astype(np.int64)
+    lb = np.char.str_len(b).astype(np.int64)
+    pw = min(4, max(1, int(la.max())), max(1, int(lb.max())))
+    kind = a.dtype.kind
+    pa_ = a.astype(f"{kind}{pw}").view(view_t).reshape(n, -1)[:, :pw]
+    pb_ = b.astype(f"{kind}{pw}").view(view_t).reshape(n, -1)[:, :pw]
+    eq = (pa_ == pb_) & (np.arange(pw) < np.minimum(la, lb)[:, None])
+    prefix = np.cumprod(eq, axis=1).sum(axis=1).astype(np.float64)
+    return np.where(j > boost_threshold, j + prefix * prefix_weight * (1.0 - j), j)

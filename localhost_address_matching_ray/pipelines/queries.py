@@ -338,6 +338,64 @@ def corpus_fuzzy_pairs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+@register(
+    "corpus_stem_jw_pairs",
+    _NORM_CTE + """,
+jw AS (
+  SELECT a.row_id AS u, b.row_id AS v,
+         jaro_winkler_similarity(a.stem, b.stem) AS jw
+  FROM norm a JOIN norm b
+    ON a.lang = b.lang AND substr(a.stem, 1, 2) = substr(b.stem, 1, 2)
+   AND a.row_id < b.row_id)
+SELECT u, v, jw FROM jw WHERE jw >= 0.9""",
+    "the north-star's 'batched Jaro-Winkler on path stems' as a standalone "
+    "surface: prefix blocking on (lang, stem[:2]) then jaro_winkler_batch "
+    "over every in-block pair — one eligible-mask+argmax numpy pass per DP "
+    "column, byte symbols, boost>0.7, BIT-identical to DuckDB "
+    "jaro_winkler_similarity (no rounding in this oracle). A lossless "
+    "length prescreen (jw ≥ 0.9 needs jaro ≥ 5/6 needs 2·min_len ≥ "
+    "max_len since jaro ≤ (min/max + 2)/3) prunes pairs before the DP. "
+    "Scale: same bounded-block census story as corpus_fuzzy_pairs",
+)
+def corpus_stem_jw_pairs(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.functions.similarity import jaro_winkler_batch
+
+    ds = _normalized_corpus(sf_dir).select_columns(["row_id", "lang", "stem"])
+
+    def add_block(t: pa.Table) -> pa.Table:
+        return t.append_column("pre2", pc.utf8_slice_codeunits(t["stem"], 0, 2))
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = group["row_id"].to_numpy(zero_copy_only=False).astype("U")
+        stems = group["stem"].to_numpy(zero_copy_only=False).astype("U")
+        order = np.argsort(ids)  # bytewise asc = SQL binary collation
+        ids, stems = ids[order], stems[order]
+        lens = np.char.str_len(np.char.encode(stems, "utf-8"))
+        iu, jv = np.triu_indices(len(ids), 1)
+        lo = np.minimum(lens[iu], lens[jv])
+        hi = np.maximum(lens[iu], lens[jv])
+        cand = 2 * lo >= hi  # lossless: jw ≥ 0.9 ⇒ min/max ≥ 0.5
+        iu, jv = iu[cand], jv[cand]
+        jw = jaro_winkler_batch(stems[iu], stems[jv])
+        keep = jw >= 0.9
+        return pa.table({
+            "u": pa.array(ids[iu][keep], pa.string()),
+            "v": pa.array(ids[jv][keep], pa.string()),
+            "jw": pa.array(jw[keep], pa.float64()),
+        })
+
+    from localhost_address_matching_ray.config import bucket_width
+
+    # pre-spread the narrow keyed stream so the O(block²) kernel
+    # parallelizes on small inputs (see corpus_fuzzy_pairs)
+    return (
+        ds.map_batches(add_block, batch_format="pyarrow")
+        .repartition(bucket_width())
+        .groupby(["lang", "pre2"])
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+
+
 _CLUSTERS_SQL = _PAIR_CTE.replace("WITH corpus", "WITH RECURSIVE corpus") + """,
 edges AS (
   SELECT u AS src, v AS dst FROM pairs WHERE jaccard >= 0.97 OR sha_equal
@@ -1150,6 +1208,62 @@ def customer_top_balances(sf_dir: str) -> ray.data.Dataset:
 
 
 @register(
+    "customer_balance_ranks",
+    """
+SELECT c_nationkey, c_custkey,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       percent_rank() OVER w AS prnk,
+       ntile(4) OVER (PARTITION BY c_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey) AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)""",
+    "ranking window functions: per-nation rank / dense_rank / percent_rank "
+    "(ties on the raw balance) + ntile(4) over the fully-tiebroken order, "
+    "all from ONE lexsort per group — tie runs give rank (first index of "
+    "run + 1) and dense_rank (run counter); percent_rank is the exact "
+    "integer division (rank-1)/(n-1) so floats match DuckDB bit-for-bit. "
+    "Scale: partitions are the natural parallel unit; a partition too big "
+    "for one task would use the distributed-sort + per-block offset pass "
+    "of events_cumulative_users — same outputs, no driver collect",
+)
+def customer_balance_ranks(sf_dir: str) -> ray.data.Dataset:
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_nationkey", "c_custkey", "c_acctbal"])
+
+    def ranks(g: pa.Table) -> pa.Table:
+        bal = g["c_acctbal"].to_numpy(zero_copy_only=False)
+        key = g["c_custkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -bal))
+        bal_s, key_s = bal[order], key[order]
+        n = len(bal_s)
+        new = np.concatenate(([True], bal_s[1:] != bal_s[:-1]))
+        idx = np.arange(n, dtype=np.int64)
+        rnk = idx[new][np.cumsum(new) - 1] + 1  # first index of tie run + 1
+        drnk = np.cumsum(new).astype(np.int64)
+        sizes = np.full(4, n // 4, dtype=np.int64)
+        sizes[: n % 4] += 1
+        quart = np.repeat(np.arange(1, 5, dtype=np.int64), sizes)[:n]
+        prnk = (rnk - 1) / (n - 1) if n > 1 else np.zeros(n, np.float64)
+        return pa.table({
+            "c_nationkey": g["c_nationkey"],  # constant within the group
+            "c_custkey": pa.array(key_s, pa.int64()),
+            "rnk": pa.array(rnk, pa.int64()),
+            "drnk": pa.array(drnk, pa.int64()),
+            "prnk": pa.array(prnk, pa.float64()),
+            "quartile": pa.array(quart, pa.int64()),
+        })
+
+    from localhost_address_matching_ray.config import bucket_width
+
+    return (
+        cust.repartition(bucket_width())
+        .groupby("c_nationkey")
+        .map_groups(ranks, batch_format="pyarrow")
+    )
+
+
+@register(
     "supplier_nation_stats",
     """
 SELECT n.n_name AS n_name, count(*) AS n_suppliers,
@@ -1178,6 +1292,96 @@ def supplier_nation_stats(sf_dir: str) -> ray.data.Dataset:
     return sup.map_batches(tag, batch_format="pyarrow").groupby("n_name").aggregate(
         Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_acctbal")
     ).map_batches(lambda t: _round_col(t, "total_acctbal", 4), batch_format="pyarrow")
+
+
+@register(
+    "lineitem_qty_disc_corr",
+    """
+WITH m AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(CAST(l_quantity AS BIGINT)) AS sq,
+         sum(CAST(round(l_discount * 100) AS BIGINT)) AS sd,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sqq,
+         sum(CAST(round(l_discount * 100) AS BIGINT)
+             * CAST(round(l_discount * 100) AS BIGINT)) AS sdd,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(round(l_discount * 100) AS BIGINT)) AS sqd
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+  CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS avg_qty,
+  CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS avg_disc,
+  sqrt(CAST(n * sqq - sq * sq AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS std_qty,
+  sqrt(CAST(n * sdd - sd * sd AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) / 100.0
+    AS std_disc,
+  CAST(n * sqd - sq * sd AS DOUBLE)
+    / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+       * sqrt(CAST(n * sdd - sd * sd AS DOUBLE))) AS corr_qd
+FROM m""",
+    "grouped second-moment statistics (mean / sample stddev / Pearson "
+    "correlation) BIT-exact across engines: DuckDB's stddev/corr builtins "
+    "use a streaming combine whose float order differs run-to-run, so "
+    "both sides instead accumulate EXACT integer moments (quantities are "
+    "integral, discounts are 2-dp → basis points) and apply the identical "
+    "textbook formula to the identical integers. Ray side: one "
+    "dictionary-encode + bincount partial per batch (six int64 moments per "
+    "group), a 3-row groupby-sum, floats only in the final tiny stage — "
+    "the classic combiner shape, no data-sized shuffle",
+)
+def lineitem_qty_disc_corr(sf_dir: str) -> ray.data.Dataset:
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        enc = t["l_returnflag"].combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = duckdb_round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        def s(w):  # per-batch sums < 2^53 → bincount floats are exact
+            return np.bincount(idx, weights=w, minlength=k).astype(np.int64)
+        return pa.table({
+            "l_returnflag": enc.dictionary,
+            "n": pa.array(np.bincount(idx, minlength=k), pa.int64()),
+            "sq": pa.array(s(q), pa.int64()),
+            "sd": pa.array(s(d), pa.int64()),
+            "sqq": pa.array(s(q * q), pa.int64()),
+            "sdd": pa.array(s(d * d), pa.int64()),
+            "sqd": pa.array(s(q * d), pa.int64()),
+        })
+
+    agg = li.map_batches(moments, batch_format="pyarrow").groupby(
+        "l_returnflag"
+    ).aggregate(*(Sum(c, alias_name=c) for c in ("n", "sq", "sd", "sqq", "sdd", "sqd")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sq, sd, sqq, sdd, sqd = (
+            t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in ("sq", "sd", "sqq", "sdd", "sqd")
+        )
+        nf = n.astype(np.float64)
+        vq = (n * sqq - sq * sq).astype(np.float64)
+        vd = (n * sdd - sd * sd).astype(np.float64)
+        den = (n * (n - 1)).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = pa.table({
+                "l_returnflag": t["l_returnflag"],
+                "n": t["n"].cast(pa.int64()),
+                "avg_qty": pa.array(sq / nf, pa.float64()),
+                "avg_disc": pa.array(sd / nf / 100.0, pa.float64()),
+                "std_qty": pa.array(np.sqrt(vq / den), pa.float64()),
+                "std_disc": pa.array(np.sqrt(vd / den) / 100.0, pa.float64()),
+                "corr_qd": pa.array(
+                    (n * sqd - sq * sd).astype(np.float64)
+                    / (np.sqrt(vq) * np.sqrt(vd)),
+                    pa.float64(),
+                ),
+            })
+        return out
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def _priority_cents_hist(t: pa.Table) -> pa.Table:
@@ -1620,6 +1824,83 @@ def customers_without_big_orders(sf_dir: str) -> ray.data.Dataset:
 
 
 @register(
+    "events_churned_pairs",
+    """
+SELECT DISTINCT user_id, event_type FROM events
+WHERE ts < TIMESTAMP '2024-01-22'
+EXCEPT
+SELECT DISTINCT user_id, event_type FROM events
+WHERE ts >= TIMESTAMP '2024-01-22'""",
+    "set difference (EXCEPT) on a composite key: (user, event_type) "
+    "activity pairs seen before the cutoff and never after — the churn "
+    "shape. Both sides reduce to per-batch-distinct keys first (a "
+    "combiner; the raw stream never shuffles), the left to globally "
+    "distinct via groupby; the EXCEPT itself is a left_outer hash join "
+    "against the key-only right side + an IS NULL filter — Ray has no "
+    "anti join type, and with a keys-only right this ships exactly what "
+    "a real anti join would",
+)
+def events_churned_pairs(sf_dir: str) -> ray.data.Dataset:
+    cutoff = pa.scalar(np.datetime64("2024-01-22T00:00:00", "us"),
+                       pa.timestamp("us"))
+    ev = read_table(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+
+    def side(before: bool):
+        def pick(t: pa.Table) -> pa.Table:
+            m = pc.less(t["ts"], cutoff) if before else pc.greater_equal(t["ts"], cutoff)
+            kept = t.filter(m).select(["user_id", "event_type"])
+            return kept.group_by(["user_id", "event_type"]).aggregate([])  # batch-distinct
+        return ev.map_batches(pick, batch_format="pyarrow")
+
+    early = (
+        side(True).groupby(["user_id", "event_type"]).aggregate(Count(alias_name="c"))
+        .map_batches(lambda t: t.select(["user_id", "event_type"]), batch_format="pyarrow")
+        .materialize()
+    )
+    late = side(False).map_batches(
+        lambda t: t.append_column("m", pa.array(np.ones(len(t), np.int8))),
+        batch_format="pyarrow",
+    )
+    n = early.count()
+    if n == 0:
+        return early
+    joined = early.join(
+        late, join_type="left_outer", num_partitions=_join_parts(n),
+        on=("user_id", "event_type"),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["m"])).select(["user_id", "event_type"]),
+        batch_format="pyarrow",
+    )
+
+
+@register(
+    "doc_hash_sample",
+    """
+SELECT doc_id, lang FROM documents
+WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')""",
+    "deterministic content-addressed sampling (the reproducible-split "
+    "primitive every training pipeline needs): keep a row iff the first "
+    "hex nibble of sha256(key) falls in the sample band — a pure per-batch "
+    "filter, no RNG state, no shuffle, identical membership on any engine "
+    "or cluster size. 4/16 nibbles → an exact-in-expectation 25% sample",
+)
+def doc_hash_sample(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.functions.hashing import sha256_hex_arrow
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].cast(pa.string())
+        hx = sha256_hex_arrow(ids)
+        keep = np.asarray(hx, dtype="U1") < "4"  # first nibble in 0..3
+        return t.filter(pa.array(keep))
+
+    return docs.map_batches(pick, batch_format="pyarrow")
+
+
+@register(
     "customers_with_urgent_orders",
     """
 SELECT c_custkey, c_name, c_mktsegment
@@ -1687,6 +1968,95 @@ def events_hourly_windows(sf_dir: str) -> ray.data.Dataset:
     ).aggregate(
         Count(alias_name="n_events"), Sum("value", alias_name="total_value")
     ).map_batches(lambda t: _round_col(t, "total_value", 6), batch_format="pyarrow")
+
+
+@register(
+    "events_gapfill_hourly",
+    """
+WITH b AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+cnt AS (SELECT h, event_type, count(*) AS n FROM b GROUP BY h, event_type),
+span AS (SELECT min(h) AS lo, max(h) AS hi FROM cnt),
+grid AS (
+  SELECT g.window_start, t.event_type
+  FROM span,
+       LATERAL (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                AS window_start) g,
+       (SELECT DISTINCT event_type FROM cnt) t)
+SELECT g.window_start, g.event_type, coalesce(c.n, 0) AS n_events
+FROM grid g LEFT JOIN cnt c
+  ON c.h = g.window_start AND c.event_type = g.event_type""",
+    "gap-filled tumbling windows (the dashboard/training-curve shape: "
+    "EVERY hour × type row exists, zeros included): pre-aggregated counts "
+    "first (the only data-sized pass), then the span is a 2-scalar "
+    "aggregate, the hour grid is ray.data.range(n_hours) cross-expanded "
+    "with the (bounded) type list inside map_batches, and the zero-fill is "
+    "a distributed left join of grid onto counts — the raw stream is never "
+    "re-read and nothing data-sized touches the driver",
+)
+def events_gapfill_hourly(sf_dir: str) -> ray.data.Dataset:
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": pc.floor_temporal(t["ts"], unit="hour").cast(pa.timestamp("us")),
+            "event_type": t["event_type"],
+        })
+
+    cnt = (
+        ev.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["h", "event_type"])
+        .aggregate(Count(alias_name="n"))
+        # Ray's sort-aggregate narrows the hour key to timestamp[s]
+        # (lossless for hour floors) — restore [us] for the grid join
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("h"), "h",
+                t["h"].cast(pa.timestamp("us")),
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    out_schema = pa.schema([
+        ("window_start", pa.timestamp("us")),
+        ("event_type", pa.string()),
+        ("n_events", pa.int64()),
+    ])
+    if cnt.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    span = cnt.map_batches(
+        lambda t: pa.table({"hus": t["h"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).aggregate(Min("hus"), Max("hus"))
+    lo_us, hi_us = int(span["min(hus)"]), int(span["max(hus)"])
+    hour_us = 3_600_000_000
+    n_hours = (hi_us - lo_us) // hour_us + 1
+    types = sorted(cnt.unique("event_type"))  # bounded: distinct event types
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        ws = np.repeat(lo_us + ids * hour_us, len(types))
+        return pa.table({
+            "window_start": pa.array(ws, pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array(np.tile(np.asarray(types, "U"), len(ids))),
+        })
+
+    grid = ray.data.range(n_hours).map_batches(expand, batch_format="pyarrow")
+    joined = grid.join(
+        cnt, join_type="left_outer",
+        num_partitions=_join_parts(n_hours * len(types)),
+        on=("window_start", "event_type"), right_on=("h", "event_type"),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": t["window_start"],
+            "event_type": t["event_type"],
+            "n_events": pc.coalesce(t["n"], pa.scalar(0, pa.int64())),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow")
 
 
 @register(

@@ -134,3 +134,47 @@ def test_cosine_topk_agrees_with_duckdb():
         ).fetchall()
         mine = [int(ci[j]) for j in range(len(qi)) if qi[j] == q]
         assert mine == [r[0] for r in rows]
+
+
+def test_jaro_batch_matches_duckdb_bit_exact():
+    """jaro_batch / jaro_winkler_batch at unit='byte' are BIT-identical to
+    DuckDB jaro_similarity / jaro_winkler_similarity (byte symbols, window
+    clipped at 0, boost only when jaro > 0.7, empty side -> 0.0)."""
+    import pyarrow as pa
+    from localhost_address_matching_ray.functions.similarity import (
+        jaro_batch,
+        jaro_winkler_batch,
+    )
+
+    rng = np.random.RandomState(17)
+    alpha = list("abcdexyz_./é日")
+    a_list = ["".join(rng.choice(alpha, rng.randint(0, 22))) for _ in range(400)]
+    b_list = ["".join(rng.choice(alpha, rng.randint(0, 22))) for _ in range(400)]
+    edges = [
+        ("", ""), ("", "a"), ("a", ""), ("a", "a"), ("ab", "ba"),
+        ("a", "ab"), ("aa", "aaa"), ("martha", "marhta"),
+        ("dwayne", "duane"), ("dixon", "dicksonx"), ("héllo", "hello"),
+    ]
+    a_list += [e[0] for e in edges]
+    b_list += [e[1] for e in edges]
+    con = duckdb.connect()
+    con.register("t", pa.table({"a": a_list, "b": b_list}))
+    exp_j = np.array([r[0] for r in con.sql("select jaro_similarity(a,b) from t").fetchall()])
+    exp_w = np.array([r[0] for r in con.sql("select jaro_winkler_similarity(a,b) from t").fetchall()])
+    got_j = jaro_batch(a_list, b_list)
+    got_w = jaro_winkler_batch(a_list, b_list)
+    assert got_j.tolist() == exp_j.tolist()  # ==, not approx: bit parity
+    assert got_w.tolist() == exp_w.tolist()
+
+
+def test_jaro_winkler_batch_unthresholded_matches_scalar():
+    """boost_threshold=0 reproduces the scalar flagship kernel on codepoints."""
+    from localhost_address_matching_ray.functions.similarity import jaro_winkler_batch
+
+    pairs = [(s, t) for s, t in WORD_PAIRS if s and t]
+    got = jaro_winkler_batch(
+        [p[0] for p in pairs], [p[1] for p in pairs],
+        unit="codepoint", boost_threshold=0.0,
+    )
+    for (s, t), g in zip(pairs, got):
+        assert g == jaro_winkler(s, t)
