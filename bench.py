@@ -134,6 +134,10 @@ SIDE_QUERIES = [
     "corpus_fuzzy_pairs", "orders_rollup", "events_pivot_daily",
     "doc_bigram_lift", "part_soundex_blocks", "part_fuzzy_matches",
     "orders_priority_quantiles_cont", "events_cumulative_users",
+    # round-4 session-4 families: heavy relational top-k, bit-exact
+    # Jaro-Winkler pair kernel, gap-filled windows, moment-exact stats
+    "q10_returned_revenue", "corpus_stem_jw_pairs",
+    "events_gapfill_hourly", "lineitem_qty_disc_corr",
 ]
 
 

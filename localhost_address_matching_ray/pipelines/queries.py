@@ -1208,6 +1208,125 @@ def customer_top_balances(sf_dir: str) -> ray.data.Dataset:
 
 
 @register(
+    "q10_returned_revenue",
+    """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1995-07-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey LIMIT 20""",
+    "TPC-H q10 shape — the heaviest relational pattern in the registry: "
+    "the date window filters orders to a key-only (orderkey → custkey) map "
+    "that is BROADCAST (ray.put once, searchsorted per batch) when it fits "
+    "the ceiling, so lineitem is filtered + customer-tagged in one "
+    "streaming pass and the ONLY shuffle is the per-customer aggregate; "
+    "past the ceiling it falls back to per-order pre-aggregate + "
+    "partitioned hash join. Distributed top-k on the rounded metric, then "
+    "O(20) dimension decoration — the driver touches exactly the 20 "
+    "result rows, never a fact table",
+)
+def q10_returned_revenue(
+    sf_dir: str, broadcast_orders_max: int = 2_000_000
+) -> ray.data.Dataset:
+    import os
+    import pyarrow.parquet as pq
+
+    lo = pa.scalar(np.datetime64("1995-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1995-07-01", "us"), pa.timestamp("us"))
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def window(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi))
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    ord_f = orders.map_batches(window, batch_format="pyarrow").materialize()
+    n_ord = ord_f.count()
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"], "rev": r})
+
+    if n_ord <= broadcast_orders_max:
+        # windowed key map fits one worker heap: ship it once, tag lineitem
+        # in the same pass that computes revenue — no per-order groupby,
+        # no hash join; the per-customer aggregate is the only shuffle
+        ok = pa.concat_tables(ray.get(ord_f.to_arrow_refs()))
+        okeys = ok["o_orderkey"].to_numpy(zero_copy_only=False)
+        ckeys = ok["o_custkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(okeys)
+        dim_ref = ray.put({"ok": okeys[order], "ck": ckeys[order]})
+
+        def tag(t: pa.Table) -> pa.Table:
+            t = rev(t)
+            d = ray.get(dim_ref)
+            k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(d["ok"], k), len(d["ok"]) - 1)
+            hit = d["ok"][pos] == k
+            return pa.table({
+                "o_custkey": pa.array(d["ck"][pos[hit]], pa.int64()),
+                "rev": t["rev"].filter(pa.array(hit)),
+            })
+
+        per_cust = li.map_batches(tag, batch_format="pyarrow")
+    else:  # beyond-broadcast: pre-aggregate per order, partitioned hash join
+        li_agg = li.map_batches(rev, batch_format="pyarrow").groupby(
+            "o_orderkey"
+        ).aggregate(Sum("rev", alias_name="rev")).materialize()
+        per_cust = _inner_join(
+            li_agg, ord_f, n_left=li_agg.count(), on=("o_orderkey",),
+            empty_schema=pa.schema([
+                ("o_orderkey", pa.int64()), ("rev", pa.float64()),
+                ("o_custkey", pa.int64()),
+            ]),
+            aggregator_ray_remote_args={"num_cpus": 0.25},
+        )
+    top = (
+        per_cust.groupby("o_custkey").aggregate(Sum("rev", alias_name="revenue"))
+        .map_batches(lambda t: _round_col(t, "revenue", 2), batch_format="pyarrow")
+        .sort(["revenue", "o_custkey"], descending=[True, False])
+        .limit(20)
+    )
+    rows = top.take_all()  # bounded: exactly the k=20 result rows
+    out_schema = pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("n_name", pa.string()), ("revenue", pa.float64()),
+    ])
+    if not rows:
+        return ray.data.from_arrow(out_schema.empty_table())
+    keys = [int(r["o_custkey"]) for r in rows]
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=[("c_custkey", "in", keys)],  # row-group pruned dim fetch
+    )
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    n2n = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    c_info = {
+        int(k): (nm, n2n[int(nk)])
+        for k, nm, nk in zip(cust["c_custkey"].to_pylist(),
+                             cust["c_name"].to_pylist(),
+                             cust["c_nationkey"].to_pylist())
+    }
+    return ray.data.from_arrow(pa.table({
+        "c_custkey": pa.array(keys, pa.int64()),
+        "c_name": pa.array([c_info[k][0] for k in keys], pa.string()),
+        "n_name": pa.array([c_info[k][1] for k in keys], pa.string()),
+        "revenue": pa.array([float(r["revenue"]) for r in rows], pa.float64()),
+    }))
+
+
+@register(
     "customer_balance_ranks",
     """
 SELECT c_nationkey, c_custkey,

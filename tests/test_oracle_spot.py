@@ -43,6 +43,13 @@ SPOT_QUERIES = [
     "part_fuzzy_matches",
     "orders_priority_quantiles_cont",
     "events_cumulative_users",
+    "corpus_stem_jw_pairs",
+    "customer_balance_ranks",
+    "events_gapfill_hourly",
+    "lineitem_qty_disc_corr",
+    "events_churned_pairs",
+    "doc_hash_sample",
+    "q10_returned_revenue",
 ]
 
 
@@ -81,3 +88,13 @@ def test_registry_contract():
     o = entry.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 35 and len(o) >= 30
+
+
+def test_q10_fallback_join_path_matches_broadcast():
+    """broadcast_orders_max=0 forces the partitioned pre-aggregate + hash
+    join fallback; results must be identical to the broadcast fast path."""
+    from localhost_address_matching_ray.pipelines.queries import q10_returned_revenue
+
+    fast = _canon(q10_returned_revenue(SF_DIR).to_pandas())
+    slow = _canon(q10_returned_revenue(SF_DIR, broadcast_orders_max=0).to_pandas())
+    pd.testing.assert_frame_equal(fast, slow, check_exact=True)
