@@ -1248,6 +1248,12 @@ def q10_returned_revenue(
 
     ord_f = orders.map_batches(window, batch_format="pyarrow").materialize()
     n_ord = ord_f.count()
+    out_schema = pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("n_name", pa.string()), ("revenue", pa.float64()),
+    ])
+    if n_ord == 0:  # no orders in the window → empty result, typed
+        return ray.data.from_arrow(out_schema.empty_table())
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
 
@@ -1297,10 +1303,6 @@ def q10_returned_revenue(
         .limit(20)
     )
     rows = top.take_all()  # bounded: exactly the k=20 result rows
-    out_schema = pa.schema([
-        ("c_custkey", pa.int64()), ("c_name", pa.string()),
-        ("n_name", pa.string()), ("revenue", pa.float64()),
-    ])
     if not rows:
         return ray.data.from_arrow(out_schema.empty_table())
     keys = [int(r["o_custkey"]) for r in rows]
@@ -2176,6 +2178,158 @@ def events_gapfill_hourly(sf_dir: str) -> ray.data.Dataset:
         })
 
     return joined.map_batches(fill, batch_format="pyarrow")
+
+
+@register(
+    "repo_lang_profile",
+    f"""
+WITH corpus AS ({CORPUS_SQL})
+SELECT repo, string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+       count(*) AS n_files
+FROM corpus GROUP BY repo""",
+    "ordered string aggregation (string_agg DISTINCT … ORDER BY): each "
+    "repo's language profile as a deterministic comma-joined sorted list. "
+    "Per-batch (repo, lang) partial counts are the combiner (the shuffle "
+    "carries the repo×lang vocabulary, never file rows); the join/concat "
+    "runs per hash(repo) bucket on that vocabulary-sized table",
+)
+def repo_lang_profile(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.config import bucket_width
+    from localhost_address_matching_ray.functions.hashing import u64_bucket
+
+    ds = corpus_from_documents(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["repo", "lang"])
+            .group_by(["repo", "lang"]).aggregate([([], "count_all")])
+            .rename_columns(["repo", "lang", "c"])
+        )
+
+    cnt = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["repo", "lang"]
+    ).aggregate(Sum("c", alias_name="c"))
+    nb = bucket_width()
+
+    def tag(t: pa.Table) -> pa.Table:
+        from localhost_address_matching_ray.functions.hashing import _token_hash64
+
+        # deterministic hash (NOT builtin hash(): per-process salt would
+        # scatter one repo across buckets); vocab-sized via dictionary
+        enc = t["repo"].combine_chunks().dictionary_encode()
+        h_uniq = np.array(
+            [_token_hash64(u) for u in enc.dictionary.to_pylist()], np.uint64
+        )
+        h = h_uniq[enc.indices.to_numpy(zero_copy_only=False)]
+        return t.append_column("rb", pa.array(u64_bucket(h, nb)))
+
+    def concat(g: pa.Table) -> pa.Table:
+        repo = g["repo"].to_numpy(zero_copy_only=False).astype("U")
+        lang = g["lang"].to_numpy(zero_copy_only=False).astype("U")
+        c = g["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((lang, repo))
+        repo, lang, c = repo[order], lang[order], c[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], repo[1:] != repo[:-1]))
+        ) if len(repo) else np.empty(0, np.int64)
+        ends = np.concatenate((starts[1:], [len(repo)])) if len(repo) else starts
+        # vocabulary-sized loop (repo×lang rows, never file rows)
+        langs = [",".join(lang[a:b]) for a, b in zip(starts, ends)]
+        return pa.table({
+            "repo": pa.array(repo[starts], pa.string()),
+            "langs": pa.array(langs, pa.string()),
+            "n_files": pa.array(np.add.reduceat(c, starts) if len(c) else [], pa.int64()),
+        })
+
+    return cnt.map_batches(tag, batch_format="pyarrow").groupby("rb").map_groups(
+        concat, batch_format="pyarrow"
+    )
+
+
+@register(
+    "user_top_event_type",
+    """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n_events
+  FROM events GROUP BY user_id, event_type),
+r AS (
+  SELECT user_id, event_type, n_events,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n_events DESC, event_type) AS rn
+  FROM c)
+SELECT user_id, event_type AS top_type, n_events FROM r WHERE rn = 1""",
+    "grouped mode (deterministic): each user's most frequent event type, "
+    "ties broken lexicographically. One data-sized groupby builds the "
+    "(user, type) counts; the per-user argmax then runs on the counts "
+    "table only — bucketed hash(user) groupby + one lexsort per bucket "
+    "with first-of-run selection, so no per-user group floor and no "
+    "second pass over raw events",
+)
+def user_top_event_type(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.config import bucket_width
+    from localhost_address_matching_ray.functions.hashing import u64_bucket
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    cnt = ev.groupby(["user_id", "event_type"]).aggregate(Count(alias_name="n_events"))
+    nb = bucket_width()
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("ub", pa.array(u64_bucket(uid, nb)))
+
+    def top1(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ty = g["event_type"].to_numpy(zero_copy_only=False).astype("U")
+        n = g["n_events"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ty, -n, uid))  # user, then count desc, then type
+        uid, ty, n = uid[order], ty[order], n[order]
+        first = (
+            np.concatenate(([True], uid[1:] != uid[:-1]))
+            if len(uid) else np.empty(0, bool)
+        )
+        return pa.table({
+            "user_id": pa.array(uid[first], pa.int64()),
+            "top_type": pa.array(ty[first], pa.string()),
+            "n_events": pa.array(n[first], pa.int64()),
+        })
+
+    return cnt.map_batches(tag, batch_format="pyarrow").groupby("ub").map_groups(
+        top1, batch_format="pyarrow"
+    )
+
+
+@register(
+    "events_props_extract",
+    """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type""",
+    "semi-structured extraction: pull the integer field out of the JSON "
+    "props column with ONE vectorized RE2 pass (pc.extract_regex) — no "
+    "per-row json.loads — then an ordinary grouped integer aggregate "
+    "(bit-exact). The oracle uses real json_extract; the Ray regex is "
+    "exact for this flat single-key shape, and the docstring contract is "
+    "explicit: nested/escaped JSON belongs to a per-actor parser stage "
+    "(stages pattern A1), not this fast path",
+)
+def events_props_extract(sf_dir: str) -> ray.data.Dataset:
+    ev = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        st = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(st, "k").cast(pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    return ev.map_batches(extract, batch_format="pyarrow").groupby(
+        "event_type"
+    ).aggregate(
+        Count(alias_name="n"),
+        Sum("k", alias_name="sum_k"),
+        Min("k", alias_name="min_k"),
+        Max("k", alias_name="max_k"),
+    )
 
 
 @register(
