@@ -170,6 +170,69 @@ def shingle_hashes_from(th: np.ndarray, k: int) -> np.ndarray:
     return acc
 
 
+def shingle_hashes_flat(
+    flat: np.ndarray, lens: np.ndarray, ks: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch :func:`shingle_hashes_from`: ``flat`` is the row-major
+    concatenation of per-row token-hash arrays, ``lens`` the row lengths,
+    ``ks`` the per-row shingle width (lang-dependent). Returns
+    ``(flat row-major shingle hashes, per-row shingle counts)``,
+    value-identical to the per-row kernel (wrapping uint64 polynomial) —
+    the per-row loop over ~10⁶ tiny numpy calls was a measured ~12% of the
+    feature UDF; here the polynomial runs as ≤k passes over one flat
+    window-start array, with rows shorter than their k folding a shorter
+    polynomial exactly like the scalar kernel (its ``k = n`` clamp)."""
+    n = len(lens)
+    if n == 0 or not len(flat):
+        return np.empty(0, np.uint64), np.zeros(n, np.int64)
+    lens = np.asarray(lens, np.int64)
+    ks = np.broadcast_to(np.asarray(ks, np.int64), lens.shape)
+    cnt = np.where(lens == 0, 0, np.maximum(lens - ks + 1, 1))
+    total = int(cnt.sum())
+    if total == 0:
+        return np.empty(0, np.uint64), cnt
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    cum_cnt = np.concatenate(([0], np.cumsum(cnt)))
+    out = np.empty(total, np.uint64)
+    P = np.uint64(0x9E3779B97F4A7C15)
+    T = len(flat)
+    for k in np.unique(ks[lens > 0]):
+        k = int(k)
+        # LONG rows (len ≥ k): fold the polynomial over the WHOLE flat
+        # array with contiguous shifted slices (no per-window gather; the
+        # windows that straddle row boundaries are computed and discarded),
+        # then one gather selects the in-row window starts row-major
+        long_rows = np.flatnonzero((ks == k) & (lens >= k))
+        if len(long_rows):
+            m = T - k + 1
+            acc = flat[:m].copy()
+            for j in range(1, k):
+                acc *= P
+                acc += flat[j : m + j]
+            lcnt = cnt[long_rows]
+            lcum = np.concatenate(([0], np.cumsum(lcnt)))
+            starts = (
+                np.repeat(offs[long_rows] - lcum[:-1], lcnt)
+                + np.arange(int(lcnt.sum()), dtype=np.int64)
+            )
+            opos = (
+                np.repeat(cum_cnt[long_rows] - lcum[:-1], lcnt)
+                + np.arange(int(lcnt.sum()), dtype=np.int64)
+            )
+            out[opos] = acc[starts]
+        # SHORT rows (0 < len < k): one whole-row shingle each, folded per
+        # distinct length (the scalar kernel's k = n clamp)
+        short_rows = np.flatnonzero((ks == k) & (lens > 0) & (lens < k))
+        for L in np.unique(lens[short_rows]):
+            rows_l = short_rows[lens[short_rows] == L]
+            s0 = offs[rows_l]
+            acc = flat[s0].copy()
+            for j in range(1, int(L)):
+                acc = acc * P + flat[s0 + j]
+            out[cum_cnt[rows_l]] = acc
+    return out, cnt
+
+
 class MinHasher:
     """MinHash signatures over uint64 shingle sets.
 

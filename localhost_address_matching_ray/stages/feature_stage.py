@@ -48,9 +48,10 @@ from localhost_address_matching_ray.functions.arrowbuf import (
 from localhost_address_matching_ray.functions.hashing import (
     MinHasher,
     TokenHasher,
-    shingle_hashes_from,
+    shingle_hashes_flat,
 )
 from localhost_address_matching_ray.functions.normalize import (
+    _has_c_controls,
     normalize_content,
     normalize_content_arrow,
     strip_comments,
@@ -85,6 +86,9 @@ class FeatureExtractor:
             (re.compile(p), r) for p, r in config.extra_rules
         ]
         self._lang_salts: dict[str, int] = {}
+        #: (lang, stem) → blocking key — stems repeat heavily across a
+        #: corpus, so the per-row sha1 amortizes like the token cache
+        self._stem_keys: dict[tuple[str, str], int] = {}
 
     def _doc_tokens(self, content: str, lang: str) -> list[str]:
         lc = self.lang_configs.get(lang)
@@ -168,8 +172,20 @@ class FeatureExtractor:
             lc = self.lang_configs.get(lg)
             if lc is not None and lc.comment_styles:
                 sub = strip_comments_arrow(sub, lc.comment_styles)
-            norm = normalize_content_arrow(sub)
-            tok_list = pc.split_pattern(norm, pattern=" ")
+            # token lists WITHOUT materializing the collapsed string: for
+            # ASCII rows free of \x1c-\x1f, ascii_split_whitespace gives
+            # exactly the normalize+split tokens plus empty strings at row
+            # edges — and hash('') is already in the drop set below, so the
+            # kept hashes are identical (≈5× less C time than the
+            # normalize-then-split chain it replaces)
+            if sub.null_count == 0 and not _has_c_controls(sub) and pc.all(
+                pc.string_is_ascii(sub)
+            ).as_py():
+                tok_list = pc.ascii_split_whitespace(sub)
+            else:
+                tok_list = pc.split_pattern(
+                    normalize_content_arrow(sub), pattern=" "
+                )
             flat = pc.list_flatten(tok_list)
             th_flat = self.token_hasher.hash_token_array(flat)
             lengths = pc.list_value_length(tok_list).to_numpy(
@@ -212,8 +228,20 @@ class FeatureExtractor:
         n = len(content_col)
         if n == 0:
             return np.empty(0, np.uint64), np.empty(0, np.int64)
-        norm = normalize_content_arrow(pc.fill_null(content_col, ""))
-        tok_list = pc.split_pattern(norm, pattern=" ")
+        filled = pc.fill_null(content_col, "")
+        # fast tokenizer (see _batch_token_hashes): identical tokens except
+        # empty strings at row edges, reconciled after the distinct step —
+        # drop '' everywhere, then rows left with NO token get back the
+        # spec's {''} (normalize+split yields [''] exactly for all-ws rows)
+        fast = not _has_c_controls(filled) and bool(
+            pc.all(pc.string_is_ascii(filled)).as_py()
+        )
+        if fast:
+            tok_list = pc.ascii_split_whitespace(filled)
+        else:
+            tok_list = pc.split_pattern(
+                normalize_content_arrow(filled), pattern=" "
+            )
         th = self.token_hasher.hash_token_array(pc.list_flatten(tok_list))
         lengths = pc.list_value_length(tok_list).to_numpy(
             zero_copy_only=False
@@ -224,7 +252,21 @@ class FeatureExtractor:
         keep = np.concatenate(
             ([True], (r2[1:] != r2[:-1]) | (t2[1:] != t2[:-1]))
         ) if len(r2) else np.empty(0, bool)
-        return t2[keep], np.bincount(r2[keep], minlength=n).astype(np.int64)
+        vals, rows = t2[keep], r2[keep]
+        if fast:
+            h_empty = self.token_hasher.hash_tokens([""])[0]
+            m = vals != h_empty
+            vals, rows = vals[m], rows[m]
+            lens = np.bincount(rows, minlength=n).astype(np.int64)
+            empties = np.flatnonzero(lens == 0)
+            if len(empties):
+                # row-major insertion points for the singleton {''} sets
+                # (a one-element row is trivially sorted)
+                pos = np.concatenate(([0], np.cumsum(lens)))[empties]
+                vals = np.insert(vals, pos, h_empty)
+                lens[empties] = 1
+            return vals, lens
+        return vals, np.bincount(rows, minlength=n).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         langs = batch["lang"].to_pylist()
@@ -248,37 +290,38 @@ class FeatureExtractor:
         exact = self.config.verify_mode == "exact"
         if exact:
             raw_vals, raw_lens = self._batch_raw_token_sets(batch["content"])
-        sh_list: list[np.ndarray] = []
-        n_tok = np.empty(n, dtype=np.int64)
-        n_shingles = raw_lens if exact else np.empty(n, dtype=np.int64)
+        n_tok = np.fromiter(map(len, th_list), np.int64, count=n)
         lang_salts = np.empty(n, dtype=np.uint64)
         stem_keys = np.zeros(n, dtype=np.uint64)
         has_stem = np.zeros(n, dtype=bool)
+        ks = np.empty(n, dtype=np.int64)
         salt_cache = self._lang_salts
-        for i, (th, lg, st) in enumerate(zip(th_list, langs, stems)):
-            if not exact:
-                lc = self.lang_configs.get(lg)
-                k = lc.shingle_k if lc is not None else k_default
-                sh = shingle_hashes_from(th, k)
-                sh_list.append(sh)
-                n_shingles[i] = len(sh)
+        stem_cache = self._stem_keys
+        for i, (lg, st) in enumerate(zip(langs, stems)):
+            lc = self.lang_configs.get(lg)
+            ks[i] = lc.shingle_k if lc is not None else k_default
             salt = salt_cache.get(lg)
             if salt is None:
                 d = sha1(f"L|{lg}|".encode()).digest()
                 salt = salt_cache[lg] = int.from_bytes(d[:8], "big")
             lang_salts[i] = salt
             if st:
-                d = sha1(f"S|{lg}|{st}".encode()).digest()
-                stem_keys[i] = int.from_bytes(d[:8], "big")
+                sk = stem_cache.get((lg, st))
+                if sk is None:
+                    d = sha1(f"S|{lg}|{st}".encode()).digest()
+                    sk = stem_cache[(lg, st)] = int.from_bytes(d[:8], "big")
+                stem_keys[i] = sk
                 has_stem[i] = True
-            n_tok[i] = len(th)
         # MinHash signatures for the whole batch over the concatenated
         # shingle stream: OPH (one binning pass) or classic (one reduceat
         # pass per cache-sized slab), per config.minhash_mode
         if exact:
-            flat_sh = raw_vals
+            flat_sh, n_shingles = raw_vals, raw_lens
         else:
-            flat_sh = np.concatenate(sh_list) if sh_list else np.empty(0, np.uint64)
+            flat_th = (
+                np.concatenate(th_list) if th_list else np.empty(0, np.uint64)
+            )
+            flat_sh, n_shingles = shingle_hashes_flat(flat_th, n_tok, ks)
         if self.config.effective_minhash_mode == "oph":
             sig_mat = self.minhasher.oph_signature_batch(flat_sh, n_shingles)
         else:

@@ -250,3 +250,26 @@ def test_u64_bucket_deterministic_and_in_range():
     assert ((b >= 0) & (b < 16)).all()
     assert b[4] == b[5]  # equal keys, equal bucket — the partitioning invariant
     assert (u64_bucket(keys, 16) == b).all()
+
+
+def test_shingle_hashes_flat_matches_per_row():
+    """Batch shingle kernel == scalar kernel per row, including short rows
+    (len < k → one whole-row shingle), empty rows, and mixed per-row k."""
+    import numpy as np
+
+    from localhost_address_matching_ray.functions.hashing import (
+        shingle_hashes_flat,
+        shingle_hashes_from,
+    )
+
+    rng = np.random.RandomState(21)
+    rows = [rng.randint(0, 2**63, size=rng.randint(0, 12)).astype(np.uint64)
+            for _ in range(300)]
+    rows += [np.empty(0, np.uint64), rng.randint(0, 2**63, 1).astype(np.uint64)]
+    ks = rng.randint(1, 7, size=len(rows)).astype(np.int64)
+    flat = np.concatenate(rows) if rows else np.empty(0, np.uint64)
+    lens = np.array([len(r) for r in rows], np.int64)
+    got_vals, got_cnt = shingle_hashes_flat(flat, lens, ks)
+    exp = [shingle_hashes_from(r, int(k)) for r, k in zip(rows, ks)]
+    assert got_cnt.tolist() == [len(e) for e in exp]
+    assert np.array_equal(got_vals, np.concatenate(exp))
