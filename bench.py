@@ -138,6 +138,10 @@ SIDE_QUERIES = [
     # Jaro-Winkler pair kernel, gap-filled windows, moment-exact stats
     "q10_returned_revenue", "corpus_stem_jw_pairs",
     "events_gapfill_hourly", "lineitem_qty_disc_corr",
+    # round-4 session-5 families: window frames, CUBE, BM25 retrieval,
+    # stratified sampling
+    "events_user_moving_avg", "orders_cube", "doc_bm25_search",
+    "doc_stratified_sample",
 ]
 
 

@@ -554,6 +554,68 @@ def doc_top_terms(sf_dir: str) -> ray.data.Dataset:
     return top_terms(docs, k=3)
 
 
+#: the BM25 demo query — terms hit the documents vocabulary mid-frequency
+_BM25_TERMS = ("vector", "window", "stream")
+
+
+def _bm25_sql(terms: tuple[str, ...], k: int) -> str:
+    tf_exprs = ",\n        ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_exprs = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(terms))
+    )
+    # all constants as DOUBLE literals (e0): a bare 2.2 is DECIMAL in DuckDB,
+    # and BIGINT*DECIMAL folds exactly to 6.6 — a different double than
+    # double(tf)*double(2.2), which is what the numpy kernel computes
+    idf = [f"(((nd - df{i}) + 0.5e0) / (df{i} + 0.5e0))" for i in range(len(terms))]
+    term_s = [
+        f"(({idf[i]} * (tf{i} * 2.2e0)) / (CAST(tf{i} AS DOUBLE) + (1.2e0 * nrm)))"
+        for i in range(len(terms))
+    ]
+    total = term_s[0]
+    for s in term_s[1:]:
+        total = f"({total} + {s})"
+    return f"""
+WITH n AS (SELECT doc_id,
+             CASE WHEN {_DOCNORM} = '' THEN []
+                  ELSE string_split({_DOCNORM}, ' ') END AS toks
+           FROM documents),
+d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+        {tf_exprs}
+      FROM n),
+g AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+             (CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS avgdl,
+             {df_exprs}
+      FROM d),
+s AS (SELECT d.doc_id, d.dl,
+        (0.25e0 + ((0.75e0 * CAST(d.dl AS DOUBLE)) / g.avgdl)) AS nrm,
+        {", ".join(f"d.tf{i}" for i in range(len(terms)))},
+        {", ".join(f"g.df{i}" for i in range(len(terms)))}, g.nd
+      FROM d CROSS JOIN g)
+SELECT doc_id, dl, {total} AS score
+FROM s WHERE ({" + ".join(f"tf{i}" for i in range(len(terms)))}) > 0
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+@register(
+    "doc_bm25_search",
+    _bm25_sql(_BM25_TERMS, 10),
+    "BM25 lexical retrieval: top-10 docs for a fixed query-term set — two "
+    "streaming passes with an O(|terms|) stats all-reduce (df only for the "
+    "query's terms, never a vocabulary groupby) and per-batch top-k "
+    "pre-selection before one tiny sort/limit; log-free idf and literal "
+    "constants keep the score bit-exact vs DuckDB (stages/docs_ops.bm25_topk)",
+)
+def doc_bm25_search(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.docs_ops import bm25_topk
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(docs, list(_BM25_TERMS), k=10)
+
+
 @register(
     "doc_bigram_lift",
     f"""
@@ -1735,6 +1797,27 @@ FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""",
     "Money summed in integer cents so accumulation order can't drift",
 )
 def orders_rollup(sf_dir: str) -> ray.data.Dataset:
+    return _orders_grouping_sets(sf_dir, [["p", "s"], ["p"], []])
+
+
+@register(
+    "orders_cube",
+    """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       count(*) AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""",
+    "GROUP BY CUBE — all 2^k grouping sets from the SAME single finest-grain "
+    "shuffle the ROLLUP uses (per-batch combiners; coarser sets derived from "
+    "the key-domain-bounded aggregate, O(grouping sets) driver fold). CUBE "
+    "adds the status-only set the ROLLUP lacks; nothing new crosses the wire",
+)
+def orders_cube(sf_dir: str) -> ray.data.Dataset:
+    return _orders_grouping_sets(sf_dir, [["p", "s"], ["p"], ["s"], []])
+
+
+def _orders_grouping_sets(sf_dir: str, sets: list[list[str]]) -> ray.data.Dataset:
     orders = read_table(
         sf_dir, "orders",
         columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
@@ -1769,7 +1852,7 @@ def orders_rollup(sf_dir: str) -> ray.data.Dataset:
     # schemaless empty blocks for empty hash partitions, drop them
     parts = [t for t in ray.get(fine.to_arrow_refs()) if t.num_columns > 0]
     if not parts or sum(t.num_rows for t in parts) == 0:
-        # SQL ROLLUP over empty input still emits the () grouping set:
+        # SQL ROLLUP/CUBE over empty input still emits the () grouping set:
         # one grand-total row with count 0 and a NULL sum
         return ray.data.from_arrow(pa.table({
             "o_orderpriority": pa.array(["ALL"], pa.string()),
@@ -1798,7 +1881,7 @@ def orders_rollup(sf_dir: str) -> ray.data.Dataset:
             ),
         })
 
-    rolled = pa.concat_tables([level(["p", "s"]), level(["p"]), level([])])
+    rolled = pa.concat_tables([level(s) for s in sets])
     return ray.data.from_arrow(rolled)
 
 
@@ -2019,6 +2102,61 @@ def doc_hash_sample(sf_dir: str) -> ray.data.Dataset:
         return t.filter(pa.array(keep))
 
     return docs.map_batches(pick, batch_format="pyarrow")
+
+
+@register(
+    "doc_stratified_sample",
+    """
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents) t WHERE rk <= 20""",
+    "stratified sampling with a fixed per-stratum quota (balanced eval/train "
+    "subsets): rank docs inside each lang by sha256(key) — a deterministic, "
+    "engine-independent order — and keep the 20 smallest. Per-batch partial "
+    "top-K per lang means the groupby shuffle carries at most K×|langs| rows "
+    "per batch, never the corpus; the same two-stage shape as ann_topk",
+)
+def doc_stratified_sample(sf_dir: str, *, quota: int = 20) -> ray.data.Dataset:
+    from localhost_address_matching_ray.functions.hashing import sha256_hex_arrow
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def ranked(t: pa.Table, k: int, with_rank: bool) -> pa.Table:
+        if t.num_rows == 0:
+            out = {"doc_id": pa.array([], pa.int64()),
+                   "lang": pa.array([], pa.string()),
+                   "hx": pa.array([], pa.string())}
+            if with_rank:
+                out["rk"] = pa.array([], pa.int64())
+                del out["hx"]
+            return pa.table(out)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        hx = (np.asarray(t["hx"]) if "hx" in t.column_names
+              else np.asarray(sha256_hex_arrow(t["doc_id"].cast(pa.string()))))
+        order = np.lexsort((did, hx, lang))
+        lang_s = lang[order]
+        starts = np.concatenate(([0], np.flatnonzero(lang_s[1:] != lang_s[:-1]) + 1))
+        seg = np.zeros(len(lang_s), np.int64)
+        seg[starts[1:]] = 1
+        seg = np.cumsum(seg)
+        rk = np.arange(len(lang_s), dtype=np.int64) - starts[seg] + 1
+        keep = order[rk <= k]
+        out = {"doc_id": pa.array(did[keep], pa.int64()),
+               "lang": pa.array(lang[keep], pa.string())}
+        if with_rank:
+            out["rk"] = pa.array(rk[rk <= k], pa.int64())
+        else:
+            out["hx"] = pa.array(hx[keep], pa.string())
+        return pa.table(out)
+
+    return (
+        docs.map_batches(lambda t: ranked(t, quota, False), batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(lambda g: ranked(g, quota, True), batch_format="pyarrow")
+    )
 
 
 @register(
@@ -2458,6 +2596,29 @@ def events_user_running_stats(sf_dir: str) -> ray.data.Dataset:
 
     ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
     return running_stats_events(ev, bucket_width=bucket_width())
+
+
+@register(
+    "events_user_moving_avg",
+    """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS frame_n,
+       avg(CAST(round(value*100) AS BIGINT)) OVER w AS mavg_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""",
+    "bounded window FRAME (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW): "
+    "per-user moving average over the last 4 events — bucketed hash(user) "
+    "groupby, one lexsort + prefix-sum difference with a segment-clamped "
+    "frame start per bucket; sum carried in integer cents so the single "
+    "IEEE division is bit-exact against DuckDB's segment-tree window",
+)
+def events_user_moving_avg(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.config import bucket_width
+    from localhost_address_matching_ray.stages.events_ops import moving_avg_events
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    return moving_avg_events(ev, preceding=3, bucket_width=bucket_width())
 
 
 #: seed gazetteer over the documents vocabulary (the Turkey.add analog —

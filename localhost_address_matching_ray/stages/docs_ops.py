@@ -1317,3 +1317,115 @@ def bigram_lift(
         .sort(["lift", "x", "y"], descending=[True, False, False])
         .limit(k)
     )
+
+
+def bm25_topk(
+    docs: ray.data.Dataset,
+    terms: list[str],
+    k: int = 10,
+) -> ray.data.Dataset:
+    """BM25 retrieval: top-``k`` documents for a fixed query-term set — the
+    lexical half of similarity search (``ann_topk`` is the embedding half).
+
+    Two streaming passes, O(1) exchange: pass 1 reduces per-batch partials
+    (doc count, total token count, per-term document frequency — a
+    |terms|-wide row, NOT a vocabulary groupby: the query is tiny and known,
+    so df is computed only for its terms); pass 2 scores each batch locally
+    against the broadcast stats and pre-selects its own top-k, then one
+    |batches|×k sort/limit picks the global winners. Nothing doc-shaped is
+    shuffled.
+
+    Exactness: df/tf/dl are integers; idf uses the engine's log-free form
+    ``((N - df) + 0.5) / (df + 0.5)`` (the ``doc_top_terms`` precedent —
+    monotone in the classic idf, IEEE-exact across engines, no libm ``ln``);
+    every float expression is parenthesized identically in the SQL oracle,
+    and the per-term scores are summed in declared term order, so Ray and
+    DuckDB agree bit-for-bit.
+
+    The BM25 constants k1=1.2 / b=0.75 appear as LITERALS (2.2, 1.2, 0.25,
+    0.75) in both the kernel and the oracle: ``k1 + 1`` computed at runtime
+    rounds differently from the source literal ``2.2`` in IEEE doubles, so
+    parameterizing them would silently break bit-parity.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    m = len(terms)
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("dl", pa.int64()), ("score", pa.float64()),
+    ])
+    term_arr = pa.array(terms, pa.string())
+
+    def term_codes(dict_strings: pa.Array) -> np.ndarray:
+        # -1 = term absent from this batch's token dictionary
+        return pc.fill_null(
+            pc.index_in(term_arr, value_set=dict_strings), -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        rows, toks, tf, dict_strings = _batch_row_token_tf(batch)
+        codes = term_codes(dict_strings)
+        out = {
+            "one": pa.array([0], pa.int32()),
+            "nd": pa.array([batch.num_rows], pa.int64()),
+            "tot": pa.array([int(tf.sum()) if len(tf) else 0], pa.int64()),
+        }
+        for i in range(m):
+            dfi = int((toks == codes[i]).sum()) if codes[i] >= 0 else 0
+            out[f"df{i}"] = pa.array([dfi], pa.int64())
+        return pa.table(out)
+
+    cols = ["nd", "tot"] + [f"df{i}" for i in range(m)]
+    agg = (
+        docs.map_batches(stats_partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("one")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .take(1)
+    )
+    stats = agg[0] if agg else {c: 0 for c in cols}
+    nd = float(stats["nd"] or 0)
+    if nd == 0.0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    avgdl = float(stats["tot"] or 0) / nd
+    idf = [((nd - float(stats[f"df{i}"] or 0)) + 0.5)
+           / (float(stats[f"df{i}"] or 0) + 0.5) for i in range(m)]
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        rows, toks, tf, dict_strings = _batch_row_token_tf(batch)
+        n = batch.num_rows
+        if n == 0 or len(rows) == 0:
+            return out_schema.empty_table()
+        dl = np.bincount(rows, weights=tf, minlength=n).astype(np.int64)
+        codes = term_codes(dict_strings)
+        nrm = 0.25 + ((0.75 * dl.astype(np.float64)) / avgdl)
+        score = np.zeros(n, np.float64)
+        hit = np.zeros(n, bool)
+        for i in range(m):  # term order fixed = SQL's (s0 + s1) + s2
+            tfv = np.zeros(n, np.float64)
+            if codes[i] >= 0:
+                mask = toks == codes[i]
+                tfv[rows[mask]] = tf[mask]
+            score = score + ((idf[i] * (tfv * 2.2)) / (tfv + (1.2 * nrm)))
+            hit |= tfv > 0
+        keep = np.flatnonzero(hit)
+        # per-batch pre-top-k: only k candidates per batch reach the sort
+        if len(keep) > k:
+            sub = np.lexsort((
+                batch["doc_id"].to_numpy(zero_copy_only=False)[keep],
+                -score[keep],
+            ))[:k]
+            keep = keep[sub]
+        doc_col = batch["doc_id"]
+        if isinstance(doc_col, pa.ChunkedArray):
+            doc_col = doc_col.combine_chunks()
+        return pa.table({
+            "doc_id": doc_col.take(pa.array(keep)),
+            "dl": pa.array(dl[keep], pa.int64()),
+            "score": pa.array(score[keep], pa.float64()),
+        })
+
+    return (
+        docs.map_batches(score_batch, batch_format="pyarrow", batch_size=4096)
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )

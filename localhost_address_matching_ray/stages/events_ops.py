@@ -295,6 +295,68 @@ def running_stats_events(
     )
 
 
+def _empty_moving_table() -> pa.Table:
+    return pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "frame_n": pa.array([], pa.int64()),
+        "mavg_cents": pa.array([], pa.float64()),
+    })
+
+
+def moving_avg_events(
+    events: ray.data.Dataset,
+    *,
+    preceding: int = 3,
+    bucket_width: int = 64,
+) -> ray.data.Dataset:
+    """Sliding window-FRAME aggregate: per-user moving average of ``value``
+    over ``ROWS BETWEEN preceding PRECEDING AND CURRENT ROW``, ordered by
+    ``(ts, event_id)`` — the bounded-frame half of SQL window semantics
+    (``running_stats_events`` covers the unbounded-frame half).
+
+    Bit-exactness: the frame sum is carried in integer cents (exact in
+    int64 and in double below 2**53, so ANY accumulation order — DuckDB's
+    segment tree or our cumsum difference — yields the same value); the
+    average is then one IEEE double division sum/len, identical on both
+    engines. The frame-start clamp is ``max(segment_start, i - preceding)``
+    applied to a prefix-sum array, vectorized across the bucket.
+    """
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty_moving_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        cents = np.rint(g["value"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, cents = uid[order], ts[order], eid[order], cents[order]
+        n = len(uid)
+        starts = np.concatenate(([0], np.flatnonzero(uid[1:] != uid[:-1]) + 1))
+        seg = np.zeros(n, np.int64)
+        seg[starts[1:]] = 1
+        seg = np.cumsum(seg)
+        idx = np.arange(n, dtype=np.int64)
+        lo = np.maximum(starts[seg], idx - preceding)  # frame start (inclusive)
+        csum = np.concatenate(([0], np.cumsum(cents)))  # csum[i] = sum(cents[:i])
+        fsum = csum[idx + 1] - csum[lo]
+        fn = idx + 1 - lo
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "frame_n": pa.array(fn, pa.int64()),
+            "mavg_cents": pa.array(fsum.astype(np.float64) / fn, pa.float64()),
+        })
+
+    return (
+        events.map_batches(_bucket_tag(bucket_width), batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def _empty_range_table() -> pa.Table:
     return pa.table({
         "user_id": pa.array([], pa.int64()),

@@ -555,3 +555,60 @@ def test_ann_topk_tie_break_by_vec_id_across_batch_cut():
     out = ann_topk(emb, np.array([100]), vec[None, :], k=k).take_all()
     got = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
     assert got == list(range(101, 101 + k))
+
+
+def _brute_bm25(texts, terms, k):
+    """Independent BM25 (k1=1.2, b=0.75, log-free idf) over python lists."""
+    toks = [t.split() for t in texts]
+    nd = float(len(texts))
+    avgdl = float(sum(len(x) for x in toks)) / nd
+    dfs = [float(sum(1 for x in toks if term in x)) for term in terms]
+    out = []
+    for doc_id, x in enumerate(toks):
+        dl = len(x)
+        nrm = 0.25 + ((0.75 * float(dl)) / avgdl)
+        score, hit = 0.0, False
+        for term, df in zip(terms, dfs):
+            tf = float(x.count(term))
+            idf = ((nd - df) + 0.5) / (df + 0.5)
+            score = score + ((idf * (tf * 2.2)) / (tf + (1.2 * nrm)))
+            hit = hit or tf > 0
+        if hit:
+            out.append((-score, doc_id, dl, score))
+    out.sort()
+    return [(d, dl, s) for (_, d, dl, s) in out[:k]]
+
+
+def test_bm25_matches_bruteforce():
+    import numpy as np
+
+    from localhost_address_matching_ray.stages.docs_ops import bm25_topk
+
+    rng = np.random.default_rng(11)
+    vocab = ["scan", "join", "vector", "table", "sort", "batch"]
+    texts = [
+        " ".join(vocab[i] for i in rng.integers(0, len(vocab), size=int(n)))
+        for n in rng.integers(3, 30, size=40)
+    ]
+    terms = ["vector", "sort"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    got = bm25_topk(ds, terms, k=5).to_pandas()
+    want = _brute_bm25(texts, terms, 5)
+    assert [tuple(r) for r in got[["doc_id", "dl", "score"]].itertuples(index=False)] == want
+
+
+def test_bm25_absent_term_and_empty_corpus():
+    from localhost_address_matching_ray.stages.docs_ops import bm25_topk
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["scan join", "sort sort"], pa.string()),
+    }))
+    # one term never occurs: its contribution must be exactly 0 for all docs
+    got = bm25_topk(ds, ["sort", "nosuchterm"], k=10).to_pandas()
+    assert list(got.doc_id) == [2]
+    empty = ds.filter(lambda r: False)
+    assert bm25_topk(empty, ["sort"], k=3).to_pandas().empty

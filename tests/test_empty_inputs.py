@@ -60,9 +60,9 @@ def test_every_query_survives_empty_tables(empty_sf_dir):
                 assert n == 1, f"{name} returned {n} rows from empty inputs"
                 row = res.to_pandas().iloc[0]
                 assert list(row) == [0, 0, 0, 0], f"{name} nonzero on empty: {list(row)}"
-            elif name == "orders_rollup":
-                # SQL ROLLUP over an empty table still emits the () grouping
-                # set: one ('ALL','ALL', 0, NULL) grand-total row
+            elif name in ("orders_rollup", "orders_cube"):
+                # SQL ROLLUP/CUBE over an empty table still emits the ()
+                # grouping set: one ('ALL','ALL', 0, NULL) grand-total row
                 assert n == 1, f"{name} returned {n} rows from empty inputs"
                 row = res.to_pandas().iloc[0]
                 assert row["n"] == 0 and pd.isna(row["total_cents"]), list(row)

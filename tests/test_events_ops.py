@@ -197,3 +197,47 @@ def test_range_join_wide_span_fallback_path():
     want = _brute_range(rows, window)
     have = set(zip(got.user_id, got.eid_a, got.eid_b, got.gap_us))
     assert have == want
+
+
+def _brute_moving_avg(rows, preceding=3):
+    """(event_id) -> (frame_n, mavg_cents) via per-user python windows."""
+    per_user = {}
+    for eid, uid, ts, et, val in rows:
+        per_user.setdefault(uid, []).append((ts, eid, round(val * 100)))
+    out = {}
+    for uid, evs in per_user.items():
+        evs.sort()
+        for i, (ts, eid, cents) in enumerate(evs):
+            lo = max(0, i - preceding)
+            frame = [c for (_, _, c) in evs[lo:i + 1]]
+            out[eid] = (len(frame), sum(frame) / len(frame))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_moving_avg_matches_bruteforce(seed):
+    from localhost_address_matching_ray.stages.events_ops import moving_avg_events
+
+    rng = np.random.default_rng(seed)
+    rows = _rand_rows(rng, 120, n_users=4, span=500)
+    ds = ray.data.from_arrow(_events_table(rows))
+    got = moving_avg_events(ds, preceding=3, bucket_width=2).to_pandas()
+    want = _brute_moving_avg(rows)
+    assert len(got) == len(rows)
+    for r in got.itertuples():
+        fn, avg = want[r.event_id]
+        assert r.frame_n == fn
+        assert r.mavg_cents == avg
+
+
+def test_moving_avg_empty_stream():
+    from localhost_address_matching_ray.stages.events_ops import moving_avg_events
+
+    ds = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "value": pa.array([], pa.float64()),
+    }))
+    got = moving_avg_events(ds, bucket_width=2).to_pandas()
+    assert len(got) == 0

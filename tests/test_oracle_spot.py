@@ -50,6 +50,10 @@ SPOT_QUERIES = [
     "events_churned_pairs",
     "doc_hash_sample",
     "q10_returned_revenue",
+    "events_user_moving_avg",
+    "orders_cube",
+    "doc_stratified_sample",
+    "doc_bm25_search",
 ]
 
 
