@@ -141,7 +141,9 @@ SIDE_QUERIES = [
     # round-4 session-5 families: window frames, CUBE, BM25 retrieval,
     # stratified sampling
     "events_user_moving_avg", "orders_cube", "doc_bm25_search",
-    "doc_stratified_sample",
+    "doc_stratified_sample", "orders_priority_share",
+    "customers_above_nation_avg", "part_size_brand_mode",
+    "events_daily_approx_users",
 ]
 
 

@@ -1478,6 +1478,221 @@ def supplier_nation_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 @register(
+    "orders_priority_share",
+    """
+WITH g AS (SELECT o_orderpriority, count(*) AS n,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, n, cents,
+       (CAST(cents AS DOUBLE) / CAST(sum(cents) OVER () AS DOUBLE)) AS share
+FROM g""",
+    "percent-of-total window (SUM() OVER () against a grouped aggregate): "
+    "one distributed groupby to the key-domain-bounded priority table, then "
+    "the total folds over those ≤|priorities| rows — integer cents end to "
+    "end, one IEEE division per row, bit-exact vs the SQL window",
+)
+def orders_priority_share(sf_dir: str) -> ray.data.Dataset:
+    orders = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        prio = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        uniq, inv = np.unique(prio, return_inverse=True)
+        return pa.table({
+            "o_orderpriority": pa.array(uniq, pa.string()),
+            "n": pa.array(np.bincount(inv, minlength=len(uniq)), pa.int64()),
+            "cents": pa.array(
+                np.bincount(inv, weights=cents, minlength=len(uniq)).astype(np.int64),
+                pa.int64()),
+        })
+
+    fine = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+    )
+    # key-domain-bounded collect (≤ |priorities| rows) for the global total
+    parts = [t for t in ray.get(fine.to_arrow_refs()) if t.num_columns > 0]
+    out_schema = pa.schema([
+        ("o_orderpriority", pa.string()), ("n", pa.int64()),
+        ("cents", pa.int64()), ("share", pa.float64()),
+    ])
+    if not parts or sum(t.num_rows for t in parts) == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    t = pa.concat_tables(parts)
+    cents = t["cents"].to_numpy(zero_copy_only=False)
+    total = float(cents.sum())
+    return ray.data.from_arrow(pa.table({
+        "o_orderpriority": t["o_orderpriority"],
+        "n": t["n"],
+        "cents": t["cents"],
+        "share": pa.array(cents.astype(np.float64) / total, pa.float64()),
+    }))
+
+
+@register(
+    "customers_above_nation_avg",
+    """
+WITH a AS (SELECT c_nationkey,
+             (CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE)) AS avg_cents
+           FROM customer GROUP BY c_nationkey)
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents, a.avg_cents
+FROM customer c
+JOIN a ON a.c_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > a.avg_cents""",
+    "decorrelated scalar subquery (customers richer than their nation's "
+    "average): the correlated `> (SELECT avg ...)` becomes one per-batch "
+    "combiner pass to a |nations|-row aggregate, broadcast via ray.put, and "
+    "one streaming filter pass — no row-level join anywhere; averages in "
+    "exact integer cents over one IEEE division",
+)
+def customers_above_nation_avg(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    import pyarrow.parquet as pq
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        cents = np.rint(t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        uniq, inv = np.unique(nk, return_inverse=True)
+        return pa.table({
+            "nk": pa.array(uniq, pa.int64()),
+            "n": pa.array(np.bincount(inv, minlength=len(uniq)), pa.int64()),
+            "cents": pa.array(
+                np.bincount(inv, weights=cents, minlength=len(uniq)).astype(np.int64),
+                pa.int64()),
+        })
+
+    agg = (
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby("nk").aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+    )
+    parts = [t for t in ray.get(agg.to_arrow_refs()) if t.num_columns > 0]
+    out_schema = pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()), ("n_name", pa.string()),
+        ("bal_cents", pa.int64()), ("avg_cents", pa.float64()),
+    ])
+    if not parts or sum(t.num_rows for t in parts) == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    at = pa.concat_tables(parts)
+    avg_map = {
+        int(k): float(c) / float(n)
+        for k, n, c in zip(at["nk"].to_pylist(), at["n"].to_pylist(), at["cents"].to_pylist())
+    }
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    name_map = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    ref = ray.put((avg_map, name_map))
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        avg_m, nm = ray.get(ref)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        cents = np.rint(t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        avgs = np.array([avg_m[int(k)] for k in nk], np.float64)
+        keep = np.flatnonzero(cents > avgs)
+        return pa.table({
+            "c_custkey": t["c_custkey"].take(pa.array(keep)),
+            "c_name": t["c_name"].take(pa.array(keep)),
+            "n_name": pa.array([nm[int(k)] for k in nk[keep]], pa.string()),
+            "bal_cents": pa.array(cents[keep], pa.int64()),
+            "avg_cents": pa.array(avgs[keep], pa.float64()),
+        })
+
+    return cust.map_batches(pick, batch_format="pyarrow")
+
+
+@register(
+    "part_size_brand_mode",
+    """
+SELECT p_size, p_brand AS brand_mode, n FROM (
+  SELECT p_size, p_brand, count(*) AS n,
+         row_number() OVER (PARTITION BY p_size
+                            ORDER BY count(*) DESC, p_brand) AS rk
+  FROM part GROUP BY p_size, p_brand) t
+WHERE rk = 1""",
+    "grouped MODE with deterministic ties (max count, then min brand): "
+    "per-batch (size, brand) combiners → key-domain-bounded groupby sum → "
+    "per-size argmax inside map_groups — the raw part rows never shuffle",
+)
+def part_size_brand_mode(sf_dir: str) -> ray.data.Dataset:
+    part = read_table(sf_dir, "part", columns=["p_size", "p_brand"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sz = t["p_size"].to_numpy(zero_copy_only=False)
+        br = t["p_brand"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(np.rec.fromarrays([sz, br], names=["s", "b"]),
+                              return_inverse=True)
+        return pa.table({
+            "p_size": pa.array(uniq["s"], pa.int64()),
+            "p_brand": pa.array(uniq["b"], pa.string()),
+            "n": pa.array(np.bincount(inv, minlength=len(uniq)), pa.int64()),
+        })
+
+    def argmax(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"p_size": pa.array([], pa.int64()),
+                             "brand_mode": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        n = g["n"].to_numpy(zero_copy_only=False)
+        br = g["p_brand"].to_numpy(zero_copy_only=False)
+        best = np.lexsort((br, -n))[0]
+        return pa.table({
+            "p_size": g["p_size"].slice(best, 1),
+            "brand_mode": g["p_brand"].slice(best, 1),
+            "n": g["n"].slice(best, 1),
+        })
+
+    return (
+        part.map_batches(partial, batch_format="pyarrow")
+        .groupby(["p_size", "p_brand"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("p_size")
+        .map_groups(argmax, batch_format="pyarrow")
+    )
+
+
+@register(
+    "part_unpivot_attrs",
+    """
+SELECT p_partkey, attr, value FROM (
+  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+         p_retailprice AS retailprice FROM part) t
+UNPIVOT (value FOR attr IN (size, retailprice))""",
+    "UNPIVOT (wide → long, the inverse of events_pivot_daily): each batch "
+    "emits |attrs| stacked copies keyed by attribute name — a pure per-batch "
+    "reshape, zero shuffle, output exactly |rows|×|attrs|",
+)
+def part_unpivot_attrs(sf_dir: str) -> ray.data.Dataset:
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"])
+
+    def reshape(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        pk = t["p_partkey"]
+        return pa.table({
+            "p_partkey": pa.concat_arrays(
+                [pk.combine_chunks() if isinstance(pk, pa.ChunkedArray) else pk] * 2
+            ) if n else pa.array([], pa.int64()),
+            "attr": pa.array(["size"] * n + ["retailprice"] * n, pa.string()),
+            "value": pa.array(
+                np.concatenate([
+                    t["p_size"].to_numpy(zero_copy_only=False).astype(np.float64),
+                    t["p_retailprice"].to_numpy(zero_copy_only=False),
+                ]) if n else np.empty(0, np.float64), pa.float64()),
+        })
+
+    return part.map_batches(reshape, batch_format="pyarrow")
+
+
+@register(
     "lineitem_qty_disc_corr",
     """
 WITH m AS (

@@ -54,6 +54,10 @@ SPOT_QUERIES = [
     "orders_cube",
     "doc_stratified_sample",
     "doc_bm25_search",
+    "orders_priority_share",
+    "customers_above_nation_avg",
+    "part_size_brand_mode",
+    "part_unpivot_attrs",
 ]
 
 
