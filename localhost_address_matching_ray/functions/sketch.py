@@ -112,3 +112,57 @@ def hll_unpack(col) -> np.ndarray:
                          count=len(col) * HLL_M,
                          offset=col.offset * HLL_M)
     return flat.reshape(len(col), HLL_M)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable membership prefilter.
+#
+# NO false negatives, tunable false-positive rate — so a membership join can
+# split its left side BEFORE the shuffle: bloom-miss rows are definitively
+# absent from the right side (anti join keeps them / semi join drops them
+# with zero shuffle), and only bloom-hit rows (true members + fp rate) enter
+# the exact bucketed join. Double hashing (Kirsch-Mitzenmacher 2006):
+# k probe positions from two splitmix64-derived hashes, all vectorized.
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 6  #: probes; with m/n >= 16 bits/key, fp rate < ~0.5%
+
+
+def _bloom_probes(h: np.ndarray, m_bits: int):
+    """Yield BLOOM_K index arrays for uniform uint64 hashes ``h``."""
+    h1 = splitmix64(h)
+    h2 = splitmix64(h ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    for i in range(BLOOM_K):
+        # wrapping uint64 arithmetic is intentional (deterministic mix)
+        with np.errstate(over="ignore"):
+            yield ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_build(keys: np.ndarray, m_bits: int) -> np.ndarray:
+    """uint64 word array (m_bits/64) with the BLOOM_K bits of every key set."""
+    assert m_bits % 64 == 0
+    words = np.zeros(m_bits // 64, np.uint64)
+    if len(keys) == 0:
+        return words
+    h = keys.astype(np.uint64)
+    for idx in _bloom_probes(h, m_bits):
+        np.bitwise_or.at(words, idx >> 6, np.uint64(1) << (idx & np.int64(63)).astype(np.uint64))
+    return words
+
+
+def bloom_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Union — bitwise OR, exactly associative/commutative like HLL max."""
+    return a | b
+
+
+def bloom_maybe(words: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Bool mask: True = possibly present, False = DEFINITELY absent."""
+    m_bits = len(words) * 64
+    if len(keys) == 0:
+        return np.zeros(0, bool)
+    h = keys.astype(np.uint64)
+    out = np.ones(len(keys), bool)
+    for idx in _bloom_probes(h, m_bits):
+        bit = (words[idx >> 6] >> (idx & np.int64(63)).astype(np.uint64)) & np.uint64(1)
+        out &= bit.astype(bool)
+    return out

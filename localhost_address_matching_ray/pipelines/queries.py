@@ -1582,27 +1582,34 @@ def customers_above_nation_avg(sf_dir: str) -> ray.data.Dataset:
     if not parts or sum(t.num_rows for t in parts) == 0:
         return ray.data.from_arrow(out_schema.empty_table())
     at = pa.concat_tables(parts)
-    avg_map = {
-        int(k): float(c) / float(n)
-        for k, n, c in zip(at["nk"].to_pylist(), at["n"].to_pylist(), at["cents"].to_pylist())
-    }
+    # dense-key LUTs (nation keys are small ints): O(1) vectorized gather
+    # per batch instead of a per-row dict probe
+    nk_agg = at["nk"].to_numpy(zero_copy_only=False)
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                            columns=["n_nationkey", "n_name"])
-    name_map = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    ref = ray.put((avg_map, name_map))
+    n_keys = nation["n_nationkey"].to_numpy(zero_copy_only=False)
+    width = int(max(nk_agg.max(), n_keys.max() if len(n_keys) else 0)) + 1
+    avg_lut = np.full(width, np.nan, np.float64)
+    avg_lut[nk_agg] = (
+        at["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        / at["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    )
+    name_lut = np.full(width, "", dtype=object)
+    name_lut[n_keys] = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+    ref = ray.put((avg_lut, name_lut))
 
     def pick(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return out_schema.empty_table()
-        avg_m, nm = ray.get(ref)
+        avg_l, name_l = ray.get(ref)
         nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
         cents = np.rint(t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
-        avgs = np.array([avg_m[int(k)] for k in nk], np.float64)
+        avgs = avg_l[nk]
         keep = np.flatnonzero(cents > avgs)
         return pa.table({
             "c_custkey": t["c_custkey"].take(pa.array(keep)),
             "c_name": t["c_name"].take(pa.array(keep)),
-            "n_name": pa.array([nm[int(k)] for k in nk[keep]], pa.string()),
+            "n_name": pa.array(name_l[nk[keep]], pa.string()),
             "bal_cents": pa.array(cents[keep], pa.int64()),
             "avg_cents": pa.array(avgs[keep], pa.float64()),
         })

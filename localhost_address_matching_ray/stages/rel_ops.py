@@ -87,6 +87,37 @@ def _membership_join(left, right, *, key, right_key, bucket_width, keep_present)
     return tagged.groupby("kb").map_groups(per_bucket, batch_format="pyarrow")
 
 
+def _bloom_of_right(right: ray.data.Dataset, right_key: str, m_bits: int):
+    """Distributed Bloom build of the right key set: per-batch partial
+    filters (one ``m_bits/8``-byte value per batch — a combiner, like the
+    distinct-keys reduction) OR-merged on the driver. The collect is
+    bounded by n_blocks × m_bits/8 (128 KiB per block at the default 2^20
+    bits), not by row count."""
+    from localhost_address_matching_ray.functions.sketch import (
+        bloom_build,
+        bloom_merge,
+    )
+
+    nbytes = m_bits // 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[right_key]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        keys = arr.drop_null().to_numpy(zero_copy_only=False)
+        words = bloom_build(keys, m_bits)
+        return pa.table({"bf": pa.array([words.tobytes()], pa.binary(nbytes))})
+
+    merged = np.zeros(m_bits // 64, np.uint64)
+    for ref in right.map_batches(partial, batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_columns == 0:
+            continue
+        for v in t["bf"].to_pylist():
+            merged = bloom_merge(merged, np.frombuffer(v, np.uint64))
+    return merged
+
+
 def anti_join_keys(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -94,12 +125,45 @@ def anti_join_keys(
     key: str,
     right_key: str,
     bucket_width: int = 64,
+    bloom_bits: int | None = None,
 ) -> ray.data.Dataset:
     """Rows of *left* whose ``key`` does NOT occur as *right*'s
     ``right_key`` (SQL ``NOT EXISTS``). Left columns pass through
-    unchanged; the right side contributes nothing but key presence."""
-    return _membership_join(left, right, key=key, right_key=right_key,
-                            bucket_width=bucket_width, keep_present=False)
+    unchanged; the right side contributes nothing but key presence.
+
+    ``bloom_bits`` (power-of-two, 64-divisible) turns on the Bloom
+    prefilter: a merged filter of the right keys is broadcast, and left
+    rows whose key the filter rules out — for an anti join, DEFINITE
+    keeps, typically the vast majority — stream straight to the output
+    with ZERO shuffle; only bloom-hits (true members + the fp rate) enter
+    the exact bucketed join, so the result is bit-identical. Cost: the
+    left is read twice (two pruned streaming passes) — worth it whenever
+    shuffling the left dominates re-reading it."""
+    if bloom_bits is None:
+        return _membership_join(left, right, key=key, right_key=right_key,
+                                bucket_width=bucket_width, keep_present=False)
+    from localhost_address_matching_ray.functions.sketch import bloom_maybe
+
+    ref = ray.put(_bloom_of_right(right, right_key, bloom_bits))
+
+    def split(t: pa.Table, want_maybe: bool) -> pa.Table:
+        arr = t[key]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        keys = arr.fill_null(0).to_numpy(zero_copy_only=False)
+        maybe = bloom_maybe(ray.get(ref), keys)
+        # NULL left key: NOT EXISTS is vacuously true -> definite keep
+        mask = (maybe & ~null_mask) if want_maybe else (~maybe | null_mask)
+        return t.filter(pa.array(mask))
+
+    definite = left.map_batches(
+        lambda t: split(t, False), batch_format="pyarrow")
+    candidates = left.map_batches(
+        lambda t: split(t, True), batch_format="pyarrow")
+    joined = _membership_join(candidates, right, key=key, right_key=right_key,
+                              bucket_width=bucket_width, keep_present=False)
+    return definite.union(joined)
 
 
 def semi_join_keys(
@@ -109,9 +173,32 @@ def semi_join_keys(
     key: str,
     right_key: str,
     bucket_width: int = 64,
+    bloom_bits: int | None = None,
 ) -> ray.data.Dataset:
     """Rows of *left* whose ``key`` DOES occur in the right key stream
     (SQL ``EXISTS``) — same shuffle shape as :func:`anti_join_keys` with
-    the membership mask inverted."""
-    return _membership_join(left, right, key=key, right_key=right_key,
+    the membership mask inverted.
+
+    With ``bloom_bits``, bloom-miss rows (definitely absent) are dropped
+    before the shuffle in ONE streaming pass — the semi join needs no
+    second read of the left, and only bloom-hits are shuffled into the
+    exact membership join."""
+    if bloom_bits is None:
+        return _membership_join(left, right, key=key, right_key=right_key,
+                                bucket_width=bucket_width, keep_present=True)
+    from localhost_address_matching_ray.functions.sketch import bloom_maybe
+
+    ref = ray.put(_bloom_of_right(right, right_key, bloom_bits))
+
+    def keep_maybe(t: pa.Table) -> pa.Table:
+        arr = t[key]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        keys = arr.fill_null(0).to_numpy(zero_copy_only=False)
+        # NULL key never matches EXISTS -> safe to drop here
+        return t.filter(pa.array(bloom_maybe(ray.get(ref), keys) & ~null_mask))
+
+    candidates = left.map_batches(keep_maybe, batch_format="pyarrow")
+    return _membership_join(candidates, right, key=key, right_key=right_key,
                             bucket_width=bucket_width, keep_present=True)
