@@ -3578,3 +3578,82 @@ def doc_quality_filter(sf_dir: str) -> ray.data.Dataset:
     return scored.map_batches(
         lambda t: t.filter(t["keep"].combine_chunks()), batch_format="pyarrow"
     ).select_columns(["doc_id"])
+
+
+@register(
+    "doc_repetition_filter",
+    f"""
+WITH n AS (SELECT doc_id, {_DOCNORM} AS norm FROM documents),
+t AS (SELECT doc_id, CASE WHEN norm='' THEN [] ELSE string_split(norm,' ') END AS toks FROM n),
+tok AS (SELECT doc_id, unnest(toks) AS tk, generate_subscripts(toks,1) AS i FROM t),
+stats AS (SELECT doc_id, count(*) AS nt, count(DISTINCT tk) AS ndt FROM tok GROUP BY doc_id),
+bg AS (SELECT a.doc_id, a.tk || ' ' || b.tk AS b2
+       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+bgc AS (SELECT doc_id, b2, count(*) AS c FROM bg GROUP BY doc_id, b2),
+bgt AS (SELECT doc_id, max(c) AS topc, sum(c) AS nb FROM bgc GROUP BY doc_id),
+f AS (SELECT t.doc_id, coalesce(s.nt,0) AS n_tokens,
+  round(CASE WHEN coalesce(s.nt,0)=0 THEN 0.0 ELSE 1.0 - s.ndt::DOUBLE/s.nt END, 6) AS dup_token_frac,
+  round(CASE WHEN coalesce(g.nb,0)=0 THEN 0.0 ELSE g.topc::DOUBLE/g.nb END, 6) AS top_bigram_frac
+  FROM t LEFT JOIN stats s USING(doc_id) LEFT JOIN bgt g USING(doc_id))
+SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac,
+  (n_tokens >= 20 AND dup_token_frac <= 0.55 AND top_bigram_frac <= 0.06) AS keep
+FROM f""",
+    "Gopher-style repetition quality rules: duplicate-token fraction + "
+    "top-bigram fraction per doc with the combined keep verdict — the "
+    "repetition gate of a training-data pipeline, fully vectorized "
+    "(dictionary codes + one lexsort, no hashes)",
+)
+def doc_repetition_filter(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.docs_ops import doc_repetition
+
+    return doc_repetition(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+@register(
+    "doc_decontaminate",
+    f"""
+WITH n AS (SELECT doc_id, {_DOCNORM} AS norm FROM documents),
+bench AS (SELECT DISTINCT array_to_string((string_split(norm,' '))[3:10], ' ') AS snippet
+          FROM n WHERE doc_id % 53 = 0 AND len(string_split(norm,' ')) >= 10),
+hits AS (SELECT d.doc_id, count(*) AS n_hits
+         FROM n d JOIN bench b ON contains(d.norm, b.snippet) GROUP BY d.doc_id)
+SELECT n.doc_id, coalesce(h.n_hits,0) AS n_hits, coalesce(h.n_hits,0) > 0 AS contaminated
+FROM n LEFT JOIN hits h USING(doc_id)""",
+    "benchmark decontamination: deterministic snippet set (8-token span of "
+    "every doc_id % 53 == 0 doc) broadcast once, every doc scanned for "
+    "containment — the eval-leakage gate of a training-data pipeline "
+    "(broadcast small side + C-level substring scans, capped collect)",
+)
+def doc_decontaminate(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.docs_ops import doc_decontaminate
+
+    return doc_decontaminate(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+@register(
+    "doc_chunk_windows",
+    f"""
+WITH n AS (SELECT doc_id, {_DOCNORM} AS norm FROM documents),
+t AS (SELECT doc_id, CASE WHEN norm='' THEN [] ELSE string_split(norm,' ') END AS toks FROM n),
+c AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+k AS (SELECT doc_id, toks, nt,
+        unnest(range(0, CASE WHEN nt=0 THEN 0 ELSE (nt-1)//24 + 1 END)) AS chunk_idx
+      FROM c)
+SELECT doc_id, chunk_idx,
+  least(chunk_idx*24 + 32, nt) - chunk_idx*24 AS n_chunk_tokens,
+  array_to_string(toks[chunk_idx*24 + 1 : least(chunk_idx*24 + 32, nt)], ' ') AS chunk_text
+FROM k""",
+    "training-sequence chunking: overlapping 32-token windows at stride 24 "
+    "over each doc's token stream (context packing for embedding/training) "
+    "— flat-map-shaped, one gather per batch, no per-chunk Python",
+)
+def doc_chunk_windows(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.docs_ops import doc_chunk_windows
+
+    return doc_chunk_windows(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    )

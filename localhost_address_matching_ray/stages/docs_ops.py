@@ -1429,3 +1429,292 @@ def bm25_topk(
         .sort(["score", "doc_id"], descending=[True, False])
         .limit(k)
     )
+
+
+def _batch_token_seq(batch: pa.Table):
+    """Sequence-order token view of one batch: (per-token row index,
+    per-token dictionary code, per-row token count, dictionary size).
+    Unlike :func:`_batch_row_token_tf` this preserves ORDER (bigram /
+    windowing consumers); all-empty rows report 0 tokens and contribute no
+    entries. One normalize + split + dictionary-encode pass, no per-row
+    Python."""
+    import pyarrow.compute as pc
+
+    from localhost_address_matching_ray.functions.normalize import (
+        normalize_content_arrow,
+    )
+
+    n = batch.num_rows
+    col = batch["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    norm = normalize_content_arrow(pc.fill_null(col, ""))
+    tok_list = pc.split_pattern(norm, pattern=" ")
+    enc = pc.list_flatten(tok_list).dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = pc.list_value_length(tok_list).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    # split_pattern('') == [''] while the token semantics say []: zero the
+    # empty rows and drop their lone '' entry from the sequence
+    empty = np.asarray(
+        pc.equal(norm, "").to_numpy(zero_copy_only=False), dtype=bool
+    )
+    nt = lens.copy()
+    nt[empty] = 0
+    keep = ~empty[row_of]
+    return row_of[keep], codes[keep], nt, len(enc.dictionary)
+
+
+def doc_repetition(
+    docs: ray.data.Dataset,
+    *,
+    min_tokens: int = 20,
+    max_dup_token_frac: float = 0.55,
+    max_top_bigram_frac: float = 0.06,
+) -> ray.data.Dataset:
+    """Repetition-based quality features per document (the Gopher/C4-style
+    repetition rules a training-data pipeline gates on): ``dup_token_frac``
+    = 1 − distinct/total tokens, ``top_bigram_frac`` = most-frequent-bigram
+    count / total bigrams, plus the combined ``keep`` verdict. Stateless
+    vectorized ``map_batches`` — per-doc state never leaves its batch, so
+    the stage streams at any corpus size. Fractions are rounded to 6 dp on
+    BOTH sides (SQL parity) and the keep thresholds compare the rounded
+    values."""
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("dup_token_frac", pa.float64()),
+        ("top_bigram_frac", pa.float64()),
+        ("keep", pa.bool_()),
+    ])
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        rows, seq, nt, vocab = _batch_token_seq(batch)
+        # distinct tokens per row: one lexsort, count runs
+        ndist = np.zeros(n, np.int64)
+        if len(rows):
+            order = np.lexsort((seq, rows))
+            rs, cs = rows[order], seq[order]
+            run = np.concatenate(
+                ([True], (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1]))
+            )
+            ndist += np.bincount(rs[run], minlength=n).astype(np.int64)
+        # top bigram count per row: adjacent-pair codes (exact — dictionary
+        # codes, not hashes), one lexsort, run-length, max per row
+        top = np.zeros(n, np.int64)
+        if len(rows) > 1:
+            adj = rows[1:] == rows[:-1]
+            brow = rows[:-1][adj]
+            bg = seq[:-1][adj] * np.int64(vocab) + seq[1:][adj]
+            if len(brow):
+                o2 = np.lexsort((bg, brow))
+                br, bgs = brow[o2], bg[o2]
+                b_run = np.concatenate(
+                    ([True], (br[1:] != br[:-1]) | (bgs[1:] != bgs[:-1]))
+                )
+                starts = np.flatnonzero(b_run)
+                counts = np.diff(np.append(starts, len(br)))
+                np.maximum.at(top, br[starts], counts)
+        nb = np.maximum(nt - 1, 0)
+        # mirror the SQL expressions literally (1.0 - ndt/nt, topc/nb) so
+        # the float64 intermediates are bit-identical before rounding
+        dup = duckdb_round(
+            np.where(nt > 0, 1.0 - ndist / np.maximum(nt, 1), 0.0), 6
+        )
+        big = duckdb_round(
+            np.where(nb > 0, top / np.maximum(nb, 1), 0.0), 6
+        )
+        keep = (
+            (nt >= min_tokens)
+            & (dup <= max_dup_token_frac)
+            & (big <= max_top_bigram_frac)
+        )
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(nt, pa.int64()),
+            "dup_token_frac": pa.array(dup, pa.float64()),
+            "top_bigram_frac": pa.array(big, pa.float64()),
+            "keep": pa.array(keep),
+        })
+
+    return docs.map_batches(batch_fn, batch_format="pyarrow", batch_size=4096)
+
+
+#: Fail-fast ceiling for the broadcast benchmark-snippet set. A real
+#: decontamination run's benchmark side is a fixed eval corpus (thousands of
+#: snippets); anything past this cap means the caller sampled the corpus
+#: itself and should build an Aho-Corasick automaton per actor instead of
+#: the per-snippet substring scans.
+DECONTAMINATE_MAX_SNIPPETS = 100_000
+
+
+def doc_decontaminate(
+    docs: ray.data.Dataset,
+    *,
+    modulus: int = 53,
+    snip_start: int = 2,
+    snip_stop: int = 10,
+    min_tokens: int = 10,
+    max_snippets: int | None = None,
+) -> ray.data.Dataset:
+    """Benchmark decontamination: flag every document whose normalized text
+    contains any benchmark snippet. The benchmark set (here: the 8-token
+    span [snip_start:snip_stop) of every ``doc_id % modulus == 0`` document
+    with ≥ ``min_tokens`` tokens — a deterministic stand-in for a fixed
+    eval corpus) is the SMALL side by construction: it is extracted in one
+    narrow pass, deduped, broadcast once via ``ray.put``, and every batch
+    runs one C-level ``match_substring`` scan per distinct snippet.
+    ``n_hits`` counts DISTINCT snippets found. Fail-fast cap
+    ``DECONTAMINATE_MAX_SNIPPETS`` guards the driver collect; past it the
+    right structure is a per-actor Aho-Corasick automaton over the same
+    broadcast, which changes only the inner loop."""
+    import pyarrow.compute as pc
+
+    from localhost_address_matching_ray.functions.normalize import (
+        normalize_content_arrow,
+    )
+
+    cap = DECONTAMINATE_MAX_SNIPPETS if max_snippets is None else max_snippets
+
+    def extract(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(ids % modulus == 0)
+        if len(sel) == 0:
+            return pa.schema([("snippet", pa.string())]).empty_table()
+        norm = normalize_content_arrow(
+            pc.fill_null(col.take(pa.array(sel)), "")
+        )
+        toks = pc.split_pattern(norm, pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        empty = np.asarray(
+            pc.equal(norm, "").to_numpy(zero_copy_only=False), dtype=bool
+        )
+        ok = (lens >= min_tokens) & ~empty
+        sliced = pc.list_slice(
+            toks.take(pa.array(np.flatnonzero(ok))),
+            start=snip_start, stop=snip_stop,
+        )
+        return pa.table({"snippet": pc.binary_join(sliced, " ")})
+
+    bench = docs.map_batches(extract, batch_format="pyarrow").materialize()
+    n_bench = bench.count()
+    if n_bench > cap:
+        raise ValueError(
+            f"doc_decontaminate: benchmark snippet set has {n_bench} rows "
+            f"(cap {cap}) — a benchmark corpus is fixed-size by nature; "
+            "for a set this large build a per-actor Aho-Corasick automaton "
+            "instead of per-snippet scans"
+        )
+    snippets = np.unique(np.concatenate([
+        t["snippet"].to_numpy(zero_copy_only=False)
+        for t in ray.get(bench.to_arrow_refs())
+        if t.num_rows
+    ])) if n_bench else np.empty(0, dtype=object)
+    snip_ref = ray.put([str(s) for s in snippets])
+
+    def mark(batch: pa.Table) -> pa.Table:
+        snips = ray.get(snip_ref)
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        norm = normalize_content_arrow(pc.fill_null(col, ""))
+        n_hits = np.zeros(batch.num_rows, np.int64)
+        for s in snips:
+            n_hits += np.asarray(
+                pc.match_substring(norm, s).to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_hits": pa.array(n_hits, pa.int64()),
+            "contaminated": pa.array(n_hits > 0),
+        })
+
+    return docs.map_batches(mark, batch_format="pyarrow", batch_size=4096)
+
+
+def doc_chunk_windows(
+    docs: ray.data.Dataset, *, window: int = 32, stride: int = 24
+) -> ray.data.Dataset:
+    """Training-sequence chunking: each document's normalized token stream
+    → overlapping windows of ``window`` tokens stepped by ``stride`` (the
+    context-packing / embedding-chunk operator). Stateless flat-map-shaped
+    ``map_batches``: output ≈ n_tokens/stride rows per doc, built entirely
+    from one gather over the flattened token array (no per-chunk Python) —
+    the stage streams regardless of corpus size."""
+    import pyarrow.compute as pc
+
+    from localhost_address_matching_ray.functions.normalize import (
+        normalize_content_arrow,
+    )
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()),
+        ("chunk_idx", pa.int64()),
+        ("n_chunk_tokens", pa.int64()),
+        ("chunk_text", pa.string()),
+    ])
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        norm = normalize_content_arrow(pc.fill_null(col, ""))
+        tok_list = pc.split_pattern(norm, pattern=" ")
+        flat = pc.list_flatten(tok_list)
+        lens = pc.list_value_length(tok_list).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        empty = np.asarray(
+            pc.equal(norm, "").to_numpy(zero_copy_only=False), dtype=bool
+        )
+        nt = lens.copy()
+        nt[empty] = 0
+        nchunks = np.where(nt > 0, (nt - 1) // stride + 1, 0)
+        total = int(nchunks.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        doc_rep = np.repeat(np.arange(n, dtype=np.int64), nchunks)
+        ex = np.concatenate(([0], np.cumsum(nchunks)))[:-1]
+        cidx = np.arange(total, dtype=np.int64) - np.repeat(ex, nchunks)
+        starts = cidx * stride
+        clen = np.minimum(starts + window, nt[doc_rep]) - starts
+        # gather indices into the flat token array (lens, not nt: empty
+        # rows still occupy one '' slot in `flat` but emit no chunks)
+        row_start = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        flat_start = row_start[doc_rep] + starts
+        ex2 = np.concatenate(([0], np.cumsum(clen)))[:-1]
+        gather = (
+            np.repeat(flat_start - ex2, clen)
+            + np.arange(int(clen.sum()), dtype=np.int64)
+        )
+        taken = flat.take(pa.array(gather))
+        offs = pa.array(
+            np.concatenate(([0], np.cumsum(clen))).astype(np.int32)
+        )
+        chunk_text = pc.binary_join(
+            pa.ListArray.from_arrays(offs, taken), " "
+        )
+        doc_col = batch["doc_id"]
+        if isinstance(doc_col, pa.ChunkedArray):
+            doc_col = doc_col.combine_chunks()
+        return pa.table({
+            "doc_id": doc_col.take(pa.array(doc_rep)),
+            "chunk_idx": pa.array(cidx, pa.int64()),
+            "n_chunk_tokens": pa.array(clen, pa.int64()),
+            "chunk_text": chunk_text,
+        })
+
+    return docs.map_batches(batch_fn, batch_format="pyarrow", batch_size=4096)

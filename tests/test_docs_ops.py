@@ -612,3 +612,92 @@ def test_bm25_absent_term_and_empty_corpus():
     assert list(got.doc_id) == [2]
     empty = ds.filter(lambda r: False)
     assert bm25_topk(empty, ["sort"], k=3).to_pandas().empty
+
+
+def test_repetition_hand_computed():
+    """Fractions on a tiny fixture match the by-hand SQL expressions
+    (1 - ndist/nt, top_bigram/nb) including the empty/one-token edges."""
+    from localhost_address_matching_ray.stages.docs_ops import doc_repetition
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "a a b",          # nt=3 ndist=2 dup=1-2/3; bigrams: 'a a','a b' top=1 nb=2
+            "x x x x",        # nt=4 ndist=1 dup=0.75; bigram 'x x'×3 top=3 nb=3
+            "",               # nt=0 → fractions 0, keep False
+            "solo",           # nt=1 → nb=0 → big 0
+        ],
+    }))
+    rows = {r["doc_id"]: r for r in doc_repetition(ds, min_tokens=3).take_all()}
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["dup_token_frac"] == round(1 - 2 / 3, 6)
+    assert rows[1]["top_bigram_frac"] == 0.5
+    assert rows[2]["dup_token_frac"] == 0.75
+    assert rows[2]["top_bigram_frac"] == 1.0
+    assert rows[3]["n_tokens"] == 0 and rows[3]["dup_token_frac"] == 0.0
+    assert not rows[3]["keep"]
+    assert rows[4]["n_tokens"] == 1 and rows[4]["top_bigram_frac"] == 0.0
+    # doc 1: nt>=3, dup 0.333<=0.55, big 0.5>0.06 → dropped by bigram rule
+    assert not rows[1]["keep"]
+
+
+def test_decontaminate_cross_match():
+    """A document that embeds a benchmark doc's snippet is flagged even
+    though it is not itself in the benchmark sample."""
+    from localhost_address_matching_ray.stages.docs_ops import doc_decontaminate
+
+    bench_text = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11"
+    snippet = "t2 t3 t4 t5 t6 t7 t8 t9"  # tokens [2:10)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [53, 1, 2],
+        "text": [
+            bench_text,                       # benchmark member (53 % 53 == 0)
+            f"pre {snippet} post",            # contaminated
+            "clean other words here",         # clean
+        ],
+    }))
+    rows = {r["doc_id"]: r for r in doc_decontaminate(ds).take_all()}
+    assert rows[53]["contaminated"] and rows[53]["n_hits"] == 1
+    assert rows[1]["contaminated"] and rows[1]["n_hits"] == 1
+    assert not rows[2]["contaminated"] and rows[2]["n_hits"] == 0
+
+
+def test_decontaminate_snippet_cap():
+    from localhost_address_matching_ray.stages.docs_ops import doc_decontaminate
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [0, 2, 4],
+        "text": [" ".join(f"w{i}{j}" for j in range(12)) for i in range(3)],
+    }))
+    with pytest.raises(ValueError, match="snippet set"):
+        doc_decontaminate(ds, modulus=2, max_snippets=1).take_all()
+
+
+def test_chunk_windows_reconstruct():
+    """Chunk rows reconstruct each doc's token stream: chunk k covers
+    tokens [k*stride, min(k*stride+window, nt)); the union of chunk-start
+    slices equals the full stream; counts match ceil((nt-1)/stride)+1."""
+    from localhost_address_matching_ray.stages.docs_ops import doc_chunk_windows
+
+    texts = {
+        1: " ".join(f"t{i}" for i in range(70)),
+        2: " ".join(f"u{i}" for i in range(32)),
+        3: "one two",
+        4: "",
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": list(texts), "text": list(texts.values()),
+    }))
+    out = doc_chunk_windows(ds, window=32, stride=24).take_all()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 4 not in by_doc                      # empty doc emits nothing
+    assert len(by_doc[1]) == 3 and len(by_doc[2]) == 2 and len(by_doc[3]) == 1
+    for doc_id, chunks in by_doc.items():
+        toks = texts[doc_id].split()
+        for r in sorted(chunks, key=lambda r: r["chunk_idx"]):
+            k = r["chunk_idx"]
+            want = toks[k * 24 : min(k * 24 + 32, len(toks))]
+            assert r["chunk_text"].split() == want
+            assert r["n_chunk_tokens"] == len(want)
