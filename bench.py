@@ -144,6 +144,9 @@ SIDE_QUERIES = [
     "doc_stratified_sample", "orders_priority_share",
     "customers_above_nation_avg", "part_size_brand_mode",
     "events_daily_approx_users",
+    # round-4 session-6 families: repetition gate, decontamination,
+    # sequence chunking
+    "doc_repetition_filter", "doc_decontaminate", "doc_chunk_windows",
 ]
 
 
