@@ -3657,3 +3657,218 @@ def doc_chunk_windows(sf_dir: str) -> ray.data.Dataset:
     return doc_chunk_windows(
         read_table(sf_dir, "documents", columns=["doc_id", "text"])
     )
+
+
+# --------------------------------------------------------------------------
+# 12. Heavy multi-join shapes + retention analytics (session 7)
+# --------------------------------------------------------------------------
+
+@register(
+    "q7_nation_trade",
+    """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+             / 10000.0, 2) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE ns.n_name <> nc.n_name
+GROUP BY supp_nation, cust_nation, l_year""",
+    "TPC-H q7 shape — the widest join tree in the registry (6 tables, two "
+    "independent dimension chains). The fact table streams ONCE: order→"
+    "customer→nation and supplier→nation resolve through sorted-key numpy "
+    "maps broadcast via ray.put when the key sides fit the stated ceiling "
+    "(searchsorted per batch, no fact-side shuffle), and each batch "
+    "pre-aggregates to (supp_nation, cust_nation, year) partials, so the "
+    "only shuffle is a ≤|nations|²×|years| groupby. Past the ceiling: "
+    "partitioned hash joins on the key-only sides + the same "
+    "partial-combine. Revenue sums in exact int64 1e-4 units (prices are "
+    "cents, discounts hundredths) so the result is bit-identical under any "
+    "summation order — float partials would drift a cent across partition "
+    "layouts",
+)
+def q7_nation_trade(
+    sf_dir: str, broadcast_keys_max: int = 2_000_000
+) -> ray.data.Dataset:
+    import os
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nat_keys = nation["n_nationkey"].to_numpy(zero_copy_only=False)
+    nat_names = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+    nat_order = np.argsort(nat_keys)
+    nat_keys, nat_names = nat_keys[nat_order], nat_names[nat_order]
+    n_nat = len(nat_keys)
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    counts = [orders.count(), cust.count(), supp.count(), li.count(), n_nat]
+    if min(counts) == 0:  # inner-join chain: any empty table → empty result
+        return ray.data.from_arrow(pa.schema([
+            ("supp_nation", pa.string()), ("cust_nation", pa.string()),
+            ("l_year", pa.int64()), ("revenue", pa.float64()),
+        ]).empty_table())
+
+    def _sorted_map(ds: ray.data.Dataset, kcol: str, vcol: str):
+        t = pa.concat_tables(
+            [b for b in ray.get(ds.to_arrow_refs()) if b.num_columns > 0]
+        )
+        k = t[kcol].to_numpy(zero_copy_only=False)
+        v = t[vcol].to_numpy(zero_copy_only=False)
+        order = np.argsort(k)
+        return k[order], v[order]
+
+    def _lookup(keys: np.ndarray, sk: np.ndarray, sv: np.ndarray) -> np.ndarray:
+        pos = np.minimum(np.searchsorted(sk, keys), len(sk) - 1)
+        # FK integrity: every fact key resolves; misses would mis-slice
+        if not np.all(sk[pos] == keys):
+            raise ValueError("fact key missing from dimension map")
+        return sv[pos]
+
+    def _rev4(t: pa.Table) -> np.ndarray:
+        """Exact revenue in int64 1e-4 units: price is cents, discount is
+        hundredths, so price_c * (100 - disc_c) is an integer — summation
+        order can't change the answer."""
+        price_c = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc_c = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return price_c * (100 - disc_c)
+
+    def _partial(rev4: np.ndarray, snat: np.ndarray, cnat: np.ndarray,
+                 year: np.ndarray) -> pa.Table:
+        keep = snat != cnat
+        rev4, snat, cnat, year = rev4[keep], snat[keep], cnat[keep], year[keep]
+        code = (snat.astype(np.int64) * n_nat + cnat) * 4096 + year
+        uniq, inv = np.unique(code, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, rev4)
+        u_year = uniq % 4096
+        u_cn = (uniq // 4096) % n_nat
+        u_sn = uniq // (4096 * n_nat)
+        return pa.table({
+            "supp_nation": pa.array(nat_names[u_sn], pa.string()),
+            "cust_nation": pa.array(nat_names[u_cn], pa.string()),
+            "l_year": pa.array(u_year, pa.int64()),
+            "rev4": pa.array(sums, pa.int64()),
+        })
+
+    n_keys = max(counts[0], counts[1], counts[2])
+    if n_keys <= broadcast_keys_max:
+        ok, ov = _sorted_map(orders, "o_orderkey", "o_custkey")
+        ck, cv = _sorted_map(cust, "c_custkey", "c_nationkey")
+        sk, sv = _sorted_map(supp, "s_suppkey", "s_nationkey")
+        # customer/supplier nation keys → dense 0..n_nat-1 codes
+        cv = np.searchsorted(nat_keys, cv)
+        sv = np.searchsorted(nat_keys, sv)
+        maps_ref = ray.put({"ok": ok, "ov": ov, "ck": ck, "cv": cv,
+                            "sk": sk, "sv": sv})
+
+        def tag(t: pa.Table) -> pa.Table:
+            m = ray.get(maps_ref)
+            okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            skey = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            cnat = _lookup(_lookup(okey, m["ok"], m["ov"]), m["ck"], m["cv"])
+            snat = _lookup(skey, m["sk"], m["sv"])
+            year = pc.year(t["l_shipdate"]).to_numpy(zero_copy_only=False)
+            return _partial(_rev4(t), snat, cnat, year)
+
+        grouped = li.map_batches(tag, batch_format="pyarrow")
+    else:
+        # beyond-broadcast: key-only partitioned hash joins. customer and
+        # supplier reduce to (key, nation-code); orders joins customer once
+        # to become the (o_orderkey → cust-nation) map; lineitem pre-reduces
+        # per (l_orderkey, snat, l_year) before its join so the join's left
+        # is already combined.
+        def cust_code(t: pa.Table) -> pa.Table:
+            nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "c_custkey": t["c_custkey"],
+                "cnat": pa.array(np.searchsorted(nat_keys, nk), pa.int64()),
+            })
+
+        cust_n = cust.map_batches(cust_code, batch_format="pyarrow")
+        ord_n = _inner_join(
+            orders, cust_n, n_left=orders.count(), on=("o_custkey",),
+            right_on=("c_custkey",),
+            empty_schema=pa.schema([
+                ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                ("cnat", pa.int64()),
+            ]),
+        ).select_columns(["o_orderkey", "cnat"])
+
+        sk, sv = _sorted_map(supp, "s_suppkey", "s_nationkey")
+        sv = np.searchsorted(nat_keys, sv)
+        s_ref = ray.put({"sk": sk, "sv": sv})
+
+        def li_partial(t: pa.Table) -> pa.Table:
+            m = ray.get(s_ref)
+            snat = _lookup(
+                t["l_suppkey"].to_numpy(zero_copy_only=False), m["sk"], m["sv"]
+            )
+            year = pc.year(t["l_shipdate"]).to_numpy(zero_copy_only=False)
+            okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            code = (okey * n_nat + snat) * 4096 + year
+            uniq, inv = np.unique(code, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(sums, inv, _rev4(t))
+            return pa.table({
+                "l_orderkey": pa.array(uniq // (4096 * n_nat), pa.int64()),
+                "snat": pa.array((uniq // 4096) % n_nat, pa.int64()),
+                "l_year": pa.array(uniq % 4096, pa.int64()),
+                "rev4": pa.array(sums, pa.int64()),
+            })
+
+        li_agg = li.map_batches(li_partial, batch_format="pyarrow").materialize()
+        joined = _inner_join(
+            li_agg, ord_n, n_left=li_agg.count(), on=("l_orderkey",),
+            right_on=("o_orderkey",),
+            empty_schema=pa.schema([
+                ("l_orderkey", pa.int64()), ("snat", pa.int64()),
+                ("l_year", pa.int64()), ("rev4", pa.int64()),
+                ("cnat", pa.int64()),
+            ]),
+        )
+
+        def decode(t: pa.Table) -> pa.Table:
+            snat = t["snat"].to_numpy(zero_copy_only=False)
+            cnat = t["cnat"].to_numpy(zero_copy_only=False)
+            keep = snat != cnat
+            return pa.table({
+                "supp_nation": pa.array(nat_names[snat[keep]], pa.string()),
+                "cust_nation": pa.array(nat_names[cnat[keep]], pa.string()),
+                "l_year": t["l_year"].filter(pa.array(keep)),
+                "rev4": t["rev4"].filter(pa.array(keep)),
+            })
+
+        grouped = joined.map_batches(decode, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        rev = t["rev4"].to_numpy(zero_copy_only=False) / 10000.0
+        return pa.table({
+            "supp_nation": t["supp_nation"],
+            "cust_nation": t["cust_nation"],
+            "l_year": t["l_year"],
+            "revenue": pa.array(duckdb_round(rev, 2), pa.float64()),
+        })
+
+    return (
+        grouped.groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum("rev4", alias_name="rev4"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

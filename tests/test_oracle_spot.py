@@ -58,6 +58,7 @@ SPOT_QUERIES = [
     "customers_above_nation_avg",
     "part_size_brand_mode",
     "part_unpivot_attrs",
+    "q7_nation_trade",
 ]
 
 
@@ -105,4 +106,14 @@ def test_q10_fallback_join_path_matches_broadcast():
 
     fast = _canon(q10_returned_revenue(SF_DIR).to_pandas())
     slow = _canon(q10_returned_revenue(SF_DIR, broadcast_orders_max=0).to_pandas())
+    pd.testing.assert_frame_equal(fast, slow, check_exact=True)
+
+
+def test_q7_fallback_join_path_matches_broadcast():
+    """broadcast_keys_max=0 forces the partitioned hash-join path; the exact
+    int64 1e-4-unit revenue sums make both paths bit-identical."""
+    from localhost_address_matching_ray.pipelines.queries import q7_nation_trade
+
+    fast = _canon(q7_nation_trade(SF_DIR).to_pandas())
+    slow = _canon(q7_nation_trade(SF_DIR, broadcast_keys_max=0).to_pandas())
     pd.testing.assert_frame_equal(fast, slow, check_exact=True)
