@@ -3872,3 +3872,273 @@ def q7_nation_trade(
         .aggregate(Sum("rev4", alias_name="rev4"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+@register(
+    "events_cohort_retention",
+    """
+WITH ft AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+            FROM events GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS act_day FROM events)
+SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.act_day) AS BIGINT) AS day_offset,
+       count(*) AS n_users
+FROM act a JOIN ft f USING (user_id)
+GROUP BY 1, 2""",
+    "cohort retention matrix (classic product-analytics triangle): each "
+    "user's first-touch day × active-day offset → distinct-user counts. "
+    "Each batch pre-shrinks to distinct (user, day) pairs before the only "
+    "fact-sized shuffle — a hash(user)-bucketed groupby sized by "
+    "bucket_width() — and the per-bucket pass is one lexsort + reduceat "
+    "(first-touch = first row of each user run); buckets emit "
+    "(cohort, offset) partial counts so the final groupby is "
+    "|days|²/2-sized, driver never sees per-user rows",
+)
+def events_cohort_retention(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.config import bucket_width
+    from localhost_address_matching_ray.functions.hashing import u64_bucket
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    nb = bucket_width()
+    day_us = 86_400_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64) // day_us
+        )
+        # batch-local distinct (user, day): the shuffle ships at most one
+        # row per user-day per batch, not one per event
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        keep = np.concatenate(
+            ([True], (uid[1:] != uid[:-1]) | (day[1:] != day[:-1]))
+        ) if len(uid) else np.empty(0, dtype=bool)
+        uid, day = uid[keep], day[keep]
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "day": pa.array(day, pa.int64()),
+            "ub": pa.array(u64_bucket(uid, nb)),
+        })
+
+    def retention_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "cohort_day": pa.array([], pa.timestamp("us")),
+                "day_offset": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        # cross-batch dedup of (user, day), then first row of each user run
+        # IS the cohort day (sorted ascending within the user)
+        keep = np.concatenate(
+            ([True], (uid[1:] != uid[:-1]) | (day[1:] != day[:-1]))
+        )
+        uid, day = uid[keep], day[keep]
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        user_idx = np.cumsum(new_user) - 1
+        cohort = day[np.flatnonzero(new_user)][user_idx]
+        off = day - cohort
+        code = cohort * (1 << 20) + off  # offsets < 2^20 days (~2.8k years)
+        uniq, counts = np.unique(code, return_counts=True)
+        return pa.table({
+            "cohort_day": pa.array(
+                ((uniq >> 20) * day_us).astype("datetime64[us]")
+            ),
+            "day_offset": pa.array(uniq & ((1 << 20) - 1), pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("ub").map_groups(retention_bucket, batch_format="pyarrow")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+
+@register(
+    "events_type_transitions",
+    """
+WITH s AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+FROM s WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type""",
+    "per-user event-type transition (Markov bigram) matrix — the sequence "
+    "statistic behind next-action models. hash(user)-bucketed groupby; "
+    "inside each bucket one lexsort orders every user's stream, adjacent "
+    "rows within a user form the transitions (no per-user Python), and "
+    "pairs pre-count via dictionary codes so buckets emit "
+    "≤|types|² partials into a tiny final groupby",
+)
+def events_type_transitions(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.config import bucket_width
+    from localhost_address_matching_ray.functions.hashing import u64_bucket
+
+    ev = read_table(
+        sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    nb = bucket_width()
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("ub", pa.array(u64_bucket(uid, nb)))
+
+    def trans_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "prev_type": pa.array([], pa.string()),
+            "next_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        })
+        if g.num_rows < 2:
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            g["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid = uid[order]
+        enc = pc.dictionary_encode(
+            pc.take(g["event_type"].combine_chunks(), pa.array(order))
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        types = enc.dictionary
+        same_user = uid[1:] == uid[:-1]
+        prev, nxt = codes[:-1][same_user], codes[1:][same_user]
+        if len(prev) == 0:
+            return empty
+        k = len(types)
+        uniq, counts = np.unique(prev * k + nxt, return_counts=True)
+        return pa.table({
+            "prev_type": pc.take(types, pa.array(uniq // k)),
+            "next_type": pc.take(types, pa.array(uniq % k)),
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("ub").map_groups(trans_bucket, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n_transitions"))
+    )
+
+
+@register(
+    "q18_big_orders",
+    """
+SELECT c.c_name AS c_name, o.o_orderkey AS o_orderkey,
+       o.o_orderdate AS o_orderdate, o.o_totalprice AS o_totalprice,
+       CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+HAVING sum(l.l_quantity) > 300""",
+    "TPC-H q18 shape (HAVING over a fact aggregate, then join back): "
+    "lineitem pre-sums quantity per order inside each batch (exact int64 — "
+    "quantities are integral), one groupby reduces to per-order totals, and "
+    "the HAVING filter leaves only the few giant orders BY CONSTRUCTION — "
+    "that tiny survivor set broadcasts as sorted key arrays so the orders "
+    "and customer streams are membership-filtered in one pass each, never "
+    "shuffled. Collects are the post-HAVING sets only, with a guard ceiling",
+)
+def q18_big_orders(
+    sf_dir: str, qty_threshold: int = 300, survivors_max: int = 5_000_000
+) -> ray.data.Dataset:
+    out_schema = pa.schema([
+        ("c_name", pa.string()), ("o_orderkey", pa.int64()),
+        ("o_orderdate", pa.timestamp("us")), ("o_totalprice", pa.float64()),
+        ("total_qty", pa.int64()),
+    ])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        q = np.rint(
+            t["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        return pa.table({
+            "l_orderkey": pa.array(uniq, pa.int64()),
+            "qty": pa.array(sums, pa.int64()),
+        })
+
+    per_order = (
+        li.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_orderkey").aggregate(Sum("qty", alias_name="total_qty"))
+        .filter(expr=f"total_qty > {int(qty_threshold)}")
+        .materialize()
+    )
+    n_big = per_order.count()
+    if n_big == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    if n_big > survivors_max:  # pragma: no cover - HAVING keeps this tiny
+        raise ValueError(
+            f"{n_big} orders passed HAVING > {qty_threshold}; raise "
+            "survivors_max or lower the threshold — the broadcast join-back "
+            "assumes a post-HAVING set that fits the driver"
+        )
+    big = pa.concat_tables(
+        [b for b in ray.get(per_order.to_arrow_refs()) if b.num_rows > 0]
+    )
+    bk = big["l_orderkey"].to_numpy(zero_copy_only=False)
+    bq = big["total_qty"].to_numpy(zero_copy_only=False)
+    bord = np.argsort(bk)
+    bk, bq = bk[bord], bq[bord]
+    keys_ref = ray.put(bk)
+
+    def match_orders(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, ok), len(keys) - 1)
+        return t.filter(pa.array(keys[pos] == ok))
+
+    orders_hit = pa.concat_tables([
+        b for b in ray.get(
+            read_table(sf_dir, "orders", columns=[
+                "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+            ]).map_batches(match_orders, batch_format="pyarrow")
+            .materialize().to_arrow_refs()
+        ) if b.num_rows > 0
+    ])
+    ck = np.unique(orders_hit["o_custkey"].to_numpy(zero_copy_only=False))
+    cust_ref = ray.put(ck)
+
+    def match_cust(t: pa.Table) -> pa.Table:
+        keys = ray.get(cust_ref)
+        k = t["c_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, k), len(keys) - 1)
+        return t.filter(pa.array(keys[pos] == k))
+
+    cust_hit = pa.concat_tables([
+        b for b in ray.get(
+            read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+            .map_batches(match_cust, batch_format="pyarrow")
+            .materialize().to_arrow_refs()
+        ) if b.num_rows > 0
+    ])
+    # assemble the tiny survivor set driver-side: order → qty and → c_name
+    ok = orders_hit["o_orderkey"].to_numpy(zero_copy_only=False)
+    qty = bq[np.searchsorted(bk, ok)]
+    ckeys = cust_hit["c_custkey"].to_numpy(zero_copy_only=False)
+    corder = np.argsort(ckeys)
+    cnames = np.asarray(cust_hit["c_name"].to_pylist(), dtype=object)[corder]
+    cpos = np.searchsorted(ckeys[corder], orders_hit["o_custkey"].to_numpy(zero_copy_only=False))
+    return ray.data.from_arrow(pa.table({
+        "c_name": pa.array(cnames[cpos], pa.string()),
+        "o_orderkey": orders_hit["o_orderkey"],
+        "o_orderdate": orders_hit["o_orderdate"],
+        "o_totalprice": orders_hit["o_totalprice"],
+        "total_qty": pa.array(qty, pa.int64()),
+    }).cast(out_schema))

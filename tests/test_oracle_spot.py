@@ -59,6 +59,9 @@ SPOT_QUERIES = [
     "part_size_brand_mode",
     "part_unpivot_attrs",
     "q7_nation_trade",
+    "events_cohort_retention",
+    "events_type_transitions",
+    "q18_big_orders",
 ]
 
 
