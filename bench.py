@@ -147,6 +147,10 @@ SIDE_QUERIES = [
     # round-4 session-6 families: repetition gate, decontamination,
     # sequence chunking
     "doc_repetition_filter", "doc_decontaminate", "doc_chunk_windows",
+    # round-4 session-7 families: widest join tree (q7), cohort retention,
+    # Markov transitions, HAVING-then-join-back (q18)
+    "q7_nation_trade", "events_cohort_retention",
+    "events_type_transitions", "q18_big_orders",
 ]
 
 
