@@ -150,7 +150,7 @@ SIDE_QUERIES = [
     # round-4 session-7 families: widest join tree (q7), cohort retention,
     # Markov transitions, HAVING-then-join-back (q18)
     "q7_nation_trade", "events_cohort_retention",
-    "events_type_transitions", "q18_big_orders",
+    "events_type_transitions", "q18_big_orders", "doc_pack_offsets",
 ]
 
 

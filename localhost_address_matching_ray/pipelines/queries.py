@@ -4142,3 +4142,37 @@ def q18_big_orders(
         "o_totalprice": orders_hit["o_totalprice"],
         "total_qty": pa.array(qty, pa.int64()),
     }).cast(out_schema))
+
+
+@register(
+    "doc_pack_offsets",
+    f"""
+WITH n AS (SELECT doc_id, {_NORM.format(col="text")} AS norm FROM documents),
+t AS (SELECT doc_id,
+        CASE WHEN norm = '' THEN 0
+             ELSE len(string_split(norm, ' ')) END AS n_tokens
+      FROM n),
+s AS (SELECT doc_id, n_tokens,
+        coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_token
+      FROM t)
+SELECT doc_id, n_tokens, CAST(start_token AS BIGINT) AS start_token,
+       CAST(start_token // 2048 AS BIGINT) AS start_bin,
+       CAST(CASE WHEN n_tokens = 0 THEN start_token // 2048
+                 ELSE (start_token + n_tokens - 1) // 2048 END AS BIGINT)
+         AS end_bin
+FROM s""",
+    "sequence packing for training shards: each doc's global start offset "
+    "in the concatenated doc_id-ordered token stream + the fixed-2048-token "
+    "bins it spans. The global ordered prefix sum — no Ray Data primitive — "
+    "runs as a distributed two-phase scan: order-preserving doc_id range "
+    "buckets, |buckets|-row sum → driver exclusive scan of bucket bases "
+    "(broadcast once), then one local sort+cumsum per bucket; rows shuffle "
+    "once and the driver never sees per-doc data",
+)
+def doc_pack_offsets(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.stages.docs_ops import doc_pack_offsets
+
+    return doc_pack_offsets(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    )

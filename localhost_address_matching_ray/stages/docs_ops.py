@@ -1718,3 +1718,106 @@ def doc_chunk_windows(
         })
 
     return docs.map_batches(batch_fn, batch_format="pyarrow", batch_size=4096)
+
+
+def doc_pack_offsets(
+    docs: ray.data.Dataset, *, capacity: int = 2048, n_ranges: int | None = None
+) -> ray.data.Dataset:
+    """Sequence-packing offsets: every document's global start position in
+    the concatenated token stream (doc_id order) plus the first/last
+    fixed-``capacity`` training bin it lands in — the "concat everything,
+    cut every N tokens" layout LLM training shards use.
+
+    The hard part is a GLOBAL ORDERED PREFIX SUM, which Ray Data has no
+    primitive for; this is the classic distributed two-phase scan:
+
+    1. one narrow pass computes per-doc token counts (SQL-exact: count of
+       spaces in the whitespace-normalized text + 1, empty → 0) and tags an
+       ORDER-PRESERVING doc_id range bucket (``(doc_id - lo) // step`` —
+       every id in bucket b sorts before every id in b+1, so local order +
+       bucket order = global order);
+    2. a |buckets|-row groupby-sum feeds a driver-side exclusive scan of
+       bucket base offsets (tiny: bucket_width() values), broadcast once;
+    3. per-bucket ``map_groups`` does one local sort + cumsum and adds the
+       bucket base — no row ever shuffles twice, the driver never sees
+       per-doc rows, and skew is bounded by the id-range split.
+
+    Dense monotone ids keep ranges balanced; a pathological id distribution
+    degrades balance but never correctness."""
+    import pyarrow.compute as pc
+
+    from localhost_address_matching_ray.config import bucket_width
+    from localhost_address_matching_ray.functions.normalize import (
+        normalize_content_arrow,
+    )
+    from ray.data.aggregate import Sum
+
+    nb = n_ranges or bucket_width()
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("start_token", pa.int64()),
+        ("start_bin", pa.int64()),
+        ("end_bin", pa.int64()),
+    ])
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        norm = normalize_content_arrow(pc.fill_null(col, ""))
+        nt = (
+            pc.count_substring(norm, pattern=" ")
+            .to_numpy(zero_copy_only=False).astype(np.int64) + 1
+        )
+        nt[np.asarray(pc.equal(norm, "").to_numpy(zero_copy_only=False), bool)] = 0
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": pa.array(nt)})
+
+    tok = docs.map_batches(count_tokens, batch_format="pyarrow").materialize()
+    if tok.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    lo = int(tok.min("doc_id"))
+    hi = int(tok.max("doc_id"))
+    step = max(1, -(-(hi - lo + 1) // nb))  # ceil; avoids mul-overflow bucketing
+
+    def add_range(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "rb", pa.array((did - lo) // step, pa.int64())
+        )
+
+    tagged = tok.map_batches(add_range, batch_format="pyarrow").materialize()
+    sums = pa.concat_tables([
+        b for b in ray.get(
+            tagged.groupby("rb").aggregate(Sum("n_tokens", alias_name="s"))
+            .materialize().to_arrow_refs()
+        ) if b.num_rows > 0
+    ])
+    per_bucket = np.zeros(nb, dtype=np.int64)
+    per_bucket[sums["rb"].to_numpy(zero_copy_only=False)] = (
+        sums["s"].to_numpy(zero_copy_only=False)
+    )
+    base = np.concatenate(([0], np.cumsum(per_bucket)[:-1]))
+    base_ref = ray.put(base)
+
+    def local_scan(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        b = ray.get(base_ref)
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        nt = g["n_tokens"].to_numpy(zero_copy_only=False)
+        rb = int(g["rb"][0].as_py())
+        order = np.argsort(did)
+        did, nt = did[order], nt[order]
+        start = b[rb] + np.cumsum(nt) - nt  # exclusive local prefix + base
+        start_bin = start // capacity
+        end_bin = np.where(nt > 0, (start + nt - 1) // capacity, start_bin)
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "start_token": pa.array(start, pa.int64()),
+            "start_bin": pa.array(start_bin, pa.int64()),
+            "end_bin": pa.array(end_bin, pa.int64()),
+        })
+
+    return tagged.groupby("rb").map_groups(local_scan, batch_format="pyarrow")

@@ -701,3 +701,35 @@ def test_chunk_windows_reconstruct():
             want = toks[k * 24 : min(k * 24 + 32, len(toks))]
             assert r["chunk_text"].split() == want
             assert r["n_chunk_tokens"] == len(want)
+
+
+def test_pack_offsets_matches_serial_scan():
+    """Distributed two-phase prefix scan == the serial numpy cumsum, under a
+    tiny range-bucket width (forces many bucket boundaries), sparse
+    non-contiguous doc_ids, empty docs, and docs spanning multiple bins."""
+    import numpy as np
+
+    from localhost_address_matching_ray.stages.docs_ops import doc_pack_offsets
+
+    rng = np.random.default_rng(3)
+    ids = np.unique(rng.integers(0, 10_000, size=80))
+    texts = []
+    for i, d in enumerate(ids):
+        if i % 7 == 0:
+            texts.append("")                       # zero-token doc
+        else:
+            texts.append(" ".join(f"w{j}" for j in range(int(rng.integers(1, 13)))))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()), "text": texts,
+    }))
+    out = doc_pack_offsets(ds, capacity=5, n_ranges=3).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+
+    nt = np.array([0 if t == "" else len(t.split()) for t in texts], np.int64)
+    start = np.cumsum(nt) - nt
+    assert list(out.doc_id) == list(ids)
+    assert list(out.n_tokens) == list(nt)
+    assert list(out.start_token) == list(start)
+    assert list(out.start_bin) == list(start // 5)
+    end = np.where(nt > 0, (start + nt - 1) // 5, start // 5)
+    assert list(out.end_bin) == list(end)

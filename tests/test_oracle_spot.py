@@ -62,6 +62,7 @@ SPOT_QUERIES = [
     "events_cohort_retention",
     "events_type_transitions",
     "q18_big_orders",
+    "doc_pack_offsets",
 ]
 
 
