@@ -1099,6 +1099,10 @@ def q3_top_orders(sf_dir: str) -> ray.data.Dataset:
         cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
         .to_numpy(zero_copy_only=False)
     )
+    if len(building) == 0:  # inner join against nothing → empty result
+        return ray.data.from_arrow(pa.schema([
+            ("o_orderkey", pa.int64()), ("revenue", pa.float64()),
+        ]).empty_table())
     keys_ref = ray.put(building)
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
@@ -1161,18 +1165,34 @@ def q5_region_revenue(sf_dir: str) -> ray.data.Dataset:
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_nationkey"])
     r_of_n = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    # inner-join chain: nations without a region, and customers without a
+    # mapped nation, drop (degenerate dims must not KeyError)
     n2r = {
         nk: r_of_n[rk]
         for nk, rk in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+        if rk in r_of_n
     }
     region_names = sorted(set(n2r.values()))
+    if not region_names:
+        return ray.data.from_arrow(pa.schema([
+            ("r_name", pa.string()), ("revenue", pa.float64()),
+            ("n_items", pa.int64()),
+        ]).empty_table())
     rcode_of = {name: i for i, name in enumerate(region_names)}
     ckeys = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    cnk = cust["c_nationkey"].to_numpy(zero_copy_only=False)
+    cmask = np.array([nk in n2r for nk in cnk], dtype=bool)
+    ckeys, cnk = ckeys[cmask], cnk[cmask]
+    if len(ckeys) == 0:  # no joinable customers → empty result
+        return ray.data.from_arrow(pa.schema([
+            ("r_name", pa.string()), ("revenue", pa.float64()),
+            ("n_items", pa.int64()),
+        ]).empty_table())
     order_c = np.argsort(ckeys)
     c_sorted = ckeys[order_c]
-    c_rcode = np.array([
-        rcode_of[n2r[nk]] for nk in cust["c_nationkey"].to_numpy(zero_copy_only=False)
-    ], dtype=np.int32)[order_c]
+    c_rcode = np.array(
+        [rcode_of[n2r[nk]] for nk in cnk], dtype=np.int32
+    )[order_c]
     dim_ref = ray.put({"ck": c_sorted, "rc": c_rcode})
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
@@ -1238,16 +1258,29 @@ def top_brands_by_revenue(sf_dir: str) -> ray.data.Dataset:
 
     part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
                          columns=["p_partkey", "p_brand"])
-    p2b = dict(zip(part["p_partkey"].to_pylist(), part["p_brand"].to_pylist()))
-    ref = ray.put(p2b)
+    if part.num_rows == 0:  # inner join against nothing → empty result
+        return ray.data.from_arrow(pa.schema([
+            ("p_brand", pa.string()), ("revenue", pa.float64()),
+        ]).empty_table())
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    porder = np.argsort(pk)
+    brands_arr = np.asarray(part["p_brand"].to_pylist(), dtype=object)[porder]
+    ref = ray.put((pk[porder], brands_arr))
 
     li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
 
     def tag(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        brands = [m[k] for k in t["l_partkey"].to_pylist()]
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"p_brand": pa.array(brands, pa.string()), "rev": rev})
+        keys, bnames = ray.get(ref)
+        lk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, lk), len(keys) - 1)
+        hit = keys[pos] == lk  # lineitems without a part drop (inner join)
+        rev = pc.multiply(
+            t["l_extendedprice"].filter(pa.array(hit)),
+            pc.subtract(pa.scalar(1.0), t["l_discount"].filter(pa.array(hit))),
+        )
+        return pa.table({
+            "p_brand": pa.array(bnames[pos[hit]], pa.string()), "rev": rev,
+        })
 
     agg = li.map_batches(tag, batch_format="pyarrow").groupby("p_brand").aggregate(
         Sum("rev", alias_name="revenue")
@@ -1376,18 +1409,25 @@ def q10_returned_revenue(
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                            columns=["n_nationkey", "n_name"])
     n2n = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    # inner-join semantics on degenerate dims: a top customer whose customer
+    # row or nation is missing drops from the result (with intact FKs — the
+    # normal case — nothing drops and this is the SQL top-20 exactly)
     c_info = {
         int(k): (nm, n2n[int(nk)])
         for k, nm, nk in zip(cust["c_custkey"].to_pylist(),
                              cust["c_name"].to_pylist(),
                              cust["c_nationkey"].to_pylist())
+        if int(nk) in n2n
     }
+    kept = [(k, r) for k, r in zip(keys, rows) if k in c_info]
     return ray.data.from_arrow(pa.table({
-        "c_custkey": pa.array(keys, pa.int64()),
-        "c_name": pa.array([c_info[k][0] for k in keys], pa.string()),
-        "n_name": pa.array([c_info[k][1] for k in keys], pa.string()),
-        "revenue": pa.array([float(r["revenue"]) for r in rows], pa.float64()),
-    }))
+        "c_custkey": pa.array([k for k, _ in kept], pa.int64()),
+        "c_name": pa.array([c_info[k][0] for k, _ in kept], pa.string()),
+        "n_name": pa.array([c_info[k][1] for k, _ in kept], pa.string()),
+        "revenue": pa.array(
+            [float(r["revenue"]) for _, r in kept], pa.float64()
+        ),
+    }).cast(out_schema))
 
 
 @register(
@@ -1461,15 +1501,25 @@ def supplier_nation_stats(sf_dir: str) -> ray.data.Dataset:
 
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                            columns=["n_nationkey", "n_name"])
-    n2n = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    ref = ray.put(n2n)
+    if nation.num_rows == 0:  # inner join against nothing → empty result
+        return ray.data.from_arrow(pa.schema([
+            ("n_name", pa.string()), ("n_suppliers", pa.int64()),
+            ("total_acctbal", pa.float64()),
+        ]).empty_table())
+    nk = nation["n_nationkey"].to_numpy(zero_copy_only=False)
+    norder = np.argsort(nk)
+    names = np.asarray(nation["n_name"].to_pylist(), dtype=object)[norder]
+    ref = ray.put((nk[norder], names))
     sup = read_table(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
 
     def tag(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
+        keys, nm = ray.get(ref)
+        sk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, sk), len(keys) - 1)
+        hit = keys[pos] == sk  # suppliers without a nation drop (inner join)
         return pa.table({
-            "n_name": pa.array([m[k] for k in t["s_nationkey"].to_pylist()], pa.string()),
-            "s_acctbal": t["s_acctbal"],
+            "n_name": pa.array(nm[pos[hit]], pa.string()),
+            "s_acctbal": t["s_acctbal"].filter(pa.array(hit)),
         })
 
     return sup.map_batches(tag, batch_format="pyarrow").groupby("n_name").aggregate(
@@ -1596,16 +1646,18 @@ def customers_above_nation_avg(sf_dir: str) -> ray.data.Dataset:
     )
     name_lut = np.full(width, "", dtype=object)
     name_lut[n_keys] = np.asarray(nation["n_name"].to_pylist(), dtype=object)
-    ref = ray.put((avg_lut, name_lut))
+    has_nation = np.zeros(width, dtype=bool)
+    has_nation[n_keys] = True  # inner join: keyless customers must drop
+    ref = ray.put((avg_lut, name_lut, has_nation))
 
     def pick(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return out_schema.empty_table()
-        avg_l, name_l = ray.get(ref)
+        avg_l, name_l, has_n = ray.get(ref)
         nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
         cents = np.rint(t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
         avgs = avg_l[nk]
-        keep = np.flatnonzero(cents > avgs)
+        keep = np.flatnonzero((cents > avgs) & has_n[nk])
         return pa.table({
             "c_custkey": t["c_custkey"].take(pa.array(keep)),
             "c_name": t["c_name"].take(pa.array(keep)),
@@ -3961,6 +4013,11 @@ def events_cohort_retention(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+#: sentinel for a null event_type riding a sort-shuffle (Ray's groupby
+#: can't order null keys); \x00 can't occur in a real event_type string
+_NULL_TYPE = "\x00"
+
+
 @register(
     "events_type_transitions",
     """
@@ -4010,18 +4067,42 @@ def events_type_transitions(sf_dir: str) -> ray.data.Dataset:
         enc = pc.dictionary_encode(
             pc.take(g["event_type"].combine_chunks(), pa.array(order))
         )
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         types = enc.dictionary
+        k = len(types)
+        # null event_type rows: the SQL keeps a null NEXT group but the
+        # WHERE drops null PREV rows — encode null as code k so the pair
+        # math stays integral, decode through a null-suffixed dictionary
+        codes = enc.indices.fill_null(k).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
         same_user = uid[1:] == uid[:-1]
         prev, nxt = codes[:-1][same_user], codes[1:][same_user]
+        keep = prev != k  # WHERE prev_type IS NOT NULL
+        prev, nxt = prev[keep], nxt[keep]
         if len(prev) == 0:
             return empty
-        k = len(types)
-        uniq, counts = np.unique(prev * k + nxt, return_counts=True)
+        # Ray's sort-based groupby can't order null keys, so a null NEXT
+        # rides the shuffle as the \x00 sentinel (impossible in a real
+        # event_type) and is restored to null after the aggregate
+        decode = pa.concat_arrays([
+            types.cast(pa.string()), pa.array([_NULL_TYPE], pa.string()),
+        ])
+        uniq, counts = np.unique(prev * (k + 1) + nxt, return_counts=True)
         return pa.table({
-            "prev_type": pc.take(types, pa.array(uniq // k)),
-            "next_type": pc.take(types, pa.array(uniq % k)),
+            "prev_type": pc.take(decode, pa.array(uniq // (k + 1))),
+            "next_type": pc.take(decode, pa.array(uniq % (k + 1))),
             "n": pa.array(counts, pa.int64()),
+        })
+
+    def unsentinel(t: pa.Table) -> pa.Table:
+        nxt = t["next_type"]
+        if isinstance(nxt, pa.ChunkedArray):
+            nxt = nxt.combine_chunks()
+        mask = pc.equal(nxt, _NULL_TYPE)
+        return pa.table({
+            "prev_type": t["prev_type"],
+            "next_type": pc.if_else(mask, pa.scalar(None, pa.string()), nxt),
+            "n_transitions": t["n_transitions"],
         })
 
     return (
@@ -4029,6 +4110,7 @@ def events_type_transitions(sf_dir: str) -> ray.data.Dataset:
         .groupby("ub").map_groups(trans_bucket, batch_format="pyarrow")
         .groupby(["prev_type", "next_type"])
         .aggregate(Sum("n", alias_name="n_transitions"))
+        .map_batches(unsentinel, batch_format="pyarrow")
     )
 
 
@@ -4104,14 +4186,17 @@ def q18_big_orders(
         pos = np.minimum(np.searchsorted(keys, ok), len(keys) - 1)
         return t.filter(pa.array(keys[pos] == ok))
 
-    orders_hit = pa.concat_tables([
+    o_tbls = [
         b for b in ray.get(
             read_table(sf_dir, "orders", columns=[
                 "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
             ]).map_batches(match_orders, batch_format="pyarrow")
             .materialize().to_arrow_refs()
         ) if b.num_rows > 0
-    ])
+    ]
+    if not o_tbls:  # no surviving order exists in the orders table
+        return ray.data.from_arrow(out_schema.empty_table())
+    orders_hit = pa.concat_tables(o_tbls)
     ck = np.unique(orders_hit["o_custkey"].to_numpy(zero_copy_only=False))
     cust_ref = ray.put(ck)
 
@@ -4121,26 +4206,36 @@ def q18_big_orders(
         pos = np.minimum(np.searchsorted(keys, k), len(keys) - 1)
         return t.filter(pa.array(keys[pos] == k))
 
-    cust_hit = pa.concat_tables([
+    c_tbls = [
         b for b in ray.get(
             read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
             .map_batches(match_cust, batch_format="pyarrow")
             .materialize().to_arrow_refs()
         ) if b.num_rows > 0
-    ])
-    # assemble the tiny survivor set driver-side: order → qty and → c_name
+    ]
+    if not c_tbls:  # inner join: no matching customers → empty result
+        return ray.data.from_arrow(out_schema.empty_table())
+    cust_hit = pa.concat_tables(c_tbls)
+    # assemble the tiny survivor set driver-side: order → qty and → c_name.
+    # Every o_orderkey is in bk by construction (match_orders filtered on
+    # it); custkeys need the clamp + hit mask — an order whose customer is
+    # absent drops, the SQL inner join's semantics
     ok = orders_hit["o_orderkey"].to_numpy(zero_copy_only=False)
     qty = bq[np.searchsorted(bk, ok)]
     ckeys = cust_hit["c_custkey"].to_numpy(zero_copy_only=False)
     corder = np.argsort(ckeys)
+    ckeys = ckeys[corder]
     cnames = np.asarray(cust_hit["c_name"].to_pylist(), dtype=object)[corder]
-    cpos = np.searchsorted(ckeys[corder], orders_hit["o_custkey"].to_numpy(zero_copy_only=False))
+    ocust = orders_hit["o_custkey"].to_numpy(zero_copy_only=False)
+    cpos = np.minimum(np.searchsorted(ckeys, ocust), len(ckeys) - 1)
+    hit = ckeys[cpos] == ocust
+    keep = pa.array(hit)
     return ray.data.from_arrow(pa.table({
-        "c_name": pa.array(cnames[cpos], pa.string()),
-        "o_orderkey": orders_hit["o_orderkey"],
-        "o_orderdate": orders_hit["o_orderdate"],
-        "o_totalprice": orders_hit["o_totalprice"],
-        "total_qty": pa.array(qty, pa.int64()),
+        "c_name": pa.array(cnames[cpos[hit]], pa.string()),
+        "o_orderkey": orders_hit["o_orderkey"].filter(keep),
+        "o_orderdate": orders_hit["o_orderdate"].filter(keep),
+        "o_totalprice": orders_hit["o_totalprice"].filter(keep),
+        "total_qty": pa.array(qty[hit], pa.int64()),
     }).cast(out_schema))
 
 

@@ -121,3 +121,76 @@ def test_q7_fallback_join_path_matches_broadcast():
     fast = _canon(q7_nation_trade(SF_DIR).to_pandas())
     slow = _canon(q7_nation_trade(SF_DIR, broadcast_keys_max=0).to_pandas())
     pd.testing.assert_frame_equal(fast, slow, check_exact=True)
+
+
+def test_transitions_null_event_types_match_oracle(tmp_path):
+    """Null event_type rows: SQL drops null-PREV transitions but keeps the
+    null-NEXT group; the Ray side must match (nulls ride the sort-shuffle as
+    a sentinel — Ray's groupby can't order null keys)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from localhost_address_matching_ray.pipelines.queries import REGISTRY
+
+    rng = np.random.default_rng(0)
+    n = 400
+    et = rng.choice(["a", "b", "c"], size=n).astype(object)
+    et[rng.random(n) < 0.12] = None
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(
+            (np.int64(1_700_000_000_000_000)
+             + rng.integers(0, 10**9, n)).astype("datetime64[us]")
+        ),
+        "user_id": pa.array(rng.integers(0, 25, n), pa.int64()),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(rng.random(n)),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    qd = REGISTRY["events_type_transitions"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    mine = qd.fn(str(tmp_path)).to_pandas()
+    oracle = con.execute(qd.sql).df()
+    assert mine.next_type.isna().any()  # the null-NEXT group exists
+
+    def nulls_last(df):
+        df = df[sorted(df.columns)].copy()
+        return df.sort_values(
+            list(df.columns), kind="mergesort", na_position="last"
+        ).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        nulls_last(mine), nulls_last(oracle), check_dtype=False
+    )
+
+
+def test_q18_empty_orders_and_missing_customers(tmp_path):
+    """Surviving lineitem orders with an empty orders table → empty result
+    (was: ArrowInvalid from concat of nothing); an order whose customer is
+    missing drops, matching the SQL inner join."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from localhost_address_matching_ray.pipelines.queries import q18_big_orders
+
+    src = SF_DIR
+    for t in TABLES:
+        shutil.copy(f"{src}/{t}.parquet", tmp_path / f"{t}.parquet")
+    orders = pq.read_table(str(tmp_path / "orders.parquet"))
+    pq.write_table(orders.schema.empty_table(), str(tmp_path / "orders.parquet"))
+    out = q18_big_orders(str(tmp_path)).to_pandas()
+    assert len(out) == 0
+
+    # restore orders; empty CUSTOMER drops every survivor (inner join)
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    cust = pq.read_table(str(tmp_path / "customer.parquet"))
+    pq.write_table(cust.schema.empty_table(), str(tmp_path / "customer.parquet"))
+    out = q18_big_orders(str(tmp_path)).to_pandas()
+    assert len(out) == 0
