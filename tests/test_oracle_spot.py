@@ -63,6 +63,7 @@ SPOT_QUERIES = [
     "events_type_transitions",
     "q18_big_orders",
     "doc_pack_offsets",
+    "events_daily_distinct_users",
 ]
 
 

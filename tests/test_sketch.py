@@ -86,3 +86,10 @@ def test_daily_query_tracks_exact_distinct():
     assert len(merged) == len(exact)
     rel = (merged.n_users_approx - merged.n).abs() / merged.n
     assert rel.max() < 0.05, merged[rel >= 0.05]
+
+    # the in-engine exact sibling IS the DuckDB ground truth, bit-for-bit
+    mine = REGISTRY["events_daily_distinct_users"].fn(sf).to_pandas()
+    mine = mine.sort_values("day").reset_index(drop=True)
+    exact = exact.sort_values("day").reset_index(drop=True)
+    assert list(mine.day) == list(exact.day)
+    assert list(mine.n_users) == list(exact.n)
