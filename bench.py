@@ -151,7 +151,7 @@ SIDE_QUERIES = [
     # Markov transitions, HAVING-then-join-back (q18)
     "q7_nation_trade", "events_cohort_retention",
     "events_type_transitions", "q18_big_orders", "doc_pack_offsets",
-    "events_daily_distinct_users",
+    "events_daily_distinct_users", "orders_priority_mad",
 ]
 
 

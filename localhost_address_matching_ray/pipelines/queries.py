@@ -1962,6 +1962,73 @@ def orders_priority_quantiles_cont(sf_dir: str) -> ray.data.Dataset:
 
 
 @register(
+    "orders_priority_mad",
+    """
+WITH c AS (SELECT o_orderpriority,
+             CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+m AS (SELECT o_orderpriority, median(2*cents) AS med2 FROM c GROUP BY 1),
+d AS (SELECT c.o_orderpriority, abs(2*c.cents - m.med2) AS dev2
+      FROM c JOIN m USING (o_orderpriority))
+SELECT d.o_orderpriority, max(m2.med2)/200.0 AS med,
+       median(2*d.dev2)/400.0 AS mad, count(*) AS n
+FROM d JOIN m m2 USING (o_orderpriority)
+GROUP BY d.o_orderpriority""",
+    "robust statistics: grouped median absolute deviation, bit-exact vs "
+    "DuckDB by keeping every intermediate an integer-valued double — "
+    "2×cents order stats give the median as an exact half-cent, the "
+    "deviation histogram derives from the SAME per-group cents histogram "
+    "(|4c − 2·med2| ints — no second pass over raw rows, no second "
+    "shuffle), and the deviation median interpolates in quarter-cents; "
+    "two IEEE divisions at the end. The per-batch combiner bounds shuffle "
+    "size by distinct cent values, not row count",
+)
+def orders_priority_mad(sf_dir: str) -> ray.data.Dataset:
+    orders = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def mad_group(g: pa.Table) -> pa.Table:
+        uniq, tot, n = _hist_cum(g)
+
+        def order_stat(vals: np.ndarray, cum: np.ndarray, r: int) -> int:
+            return int(vals[np.searchsorted(cum, r, side="right")])
+
+        # med2 = DuckDB median(2*cents): interpolate the two bracketing
+        # order statistics of the doubled cents (exact halves as doubles)
+        p = 0.5 * (n - 1)
+        lo, hi = int(np.floor(p)), int(np.ceil(p))
+        v_lo = 2 * order_stat(uniq, tot, lo)
+        med2 = float(v_lo) if hi == lo else (
+            v_lo * 0.5 + 2 * order_stat(uniq, tot, hi) * 0.5
+        )
+        # deviation histogram from the same cents histogram: |4c - 2*med2|
+        # is integral; duplicate deviations (symmetric around the median)
+        # merge their counts
+        cnt = np.concatenate((tot[:1], np.diff(tot)))
+        dev4 = np.abs(4 * uniq - int(round(2 * med2)))
+        du, inv = np.unique(dev4, return_inverse=True)
+        dcnt = np.zeros(len(du), dtype=np.int64)
+        np.add.at(dcnt, inv, cnt)
+        dtot = np.cumsum(dcnt)
+        w_lo = order_stat(du, dtot, lo)
+        mad_u = float(w_lo) if hi == lo else (
+            w_lo * 0.5 + order_stat(du, dtot, hi) * 0.5
+        )
+        return pa.table({
+            "o_orderpriority": pa.array(
+                [g["o_orderpriority"][0].as_py()], pa.string()
+            ),
+            "med": pa.array([med2 / 200.0], pa.float64()),
+            "mad": pa.array([mad_u / 400.0], pa.float64()),
+            "n": pa.array([n], pa.int64()),
+        })
+
+    return (
+        orders.map_batches(_priority_cents_hist, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(mad_group, batch_format="pyarrow")
+    )
+
+
+@register(
     "part_soundex_blocks",
     f"""
 WITH s AS (SELECT p_name, {soundex_sql('p_name')} AS sdx FROM part)

@@ -64,6 +64,7 @@ SPOT_QUERIES = [
     "q18_big_orders",
     "doc_pack_offsets",
     "events_daily_distinct_users",
+    "orders_priority_mad",
 ]
 
 
