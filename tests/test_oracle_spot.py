@@ -102,7 +102,8 @@ def test_registry_contract():
     q = entry.queries()
     o = entry.oracle_sql()
     assert set(o) <= set(q)
-    assert len(q) >= 35 and len(o) >= 30
+    # session-7 registry floor: a dropped registration must fail loud
+    assert len(q) >= 95 and len(o) >= 89
 
 
 def test_q10_fallback_join_path_matches_broadcast():
