@@ -1531,7 +1531,7 @@ def supplier_nation_stats(sf_dir: str) -> ray.data.Dataset:
     "orders_priority_share",
     """
 WITH g AS (SELECT o_orderpriority, count(*) AS n,
-             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
            FROM orders GROUP BY o_orderpriority)
 SELECT o_orderpriority, n, cents,
        (CAST(cents AS DOUBLE) / CAST(sum(cents) OVER () AS DOUBLE)) AS share
@@ -2128,7 +2128,7 @@ def part_fuzzy_matches(sf_dir: str) -> ray.data.Dataset:
 SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
        coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
        count(*) AS n,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""",
     "multi-level aggregation (GROUP BY ROLLUP): ONE distributed shuffle at "
     "the finest (priority, status) grain with per-batch combiners, then the "
@@ -2147,7 +2147,7 @@ def orders_rollup(sf_dir: str) -> ray.data.Dataset:
 SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
        coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
        count(*) AS n,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""",
     "GROUP BY CUBE — all 2^k grouping sets from the SAME single finest-grain "
     "shuffle the ROLLUP uses (per-batch combiners; coarser sets derived from "
@@ -3926,12 +3926,22 @@ def q7_nation_trade(
         order = np.argsort(k)
         return k[order], v[order]
 
-    def _lookup(keys: np.ndarray, sk: np.ndarray, sv: np.ndarray) -> np.ndarray:
+    def _lookup(keys: np.ndarray, sk: np.ndarray, sv: np.ndarray):
+        """Clamp + membership mask: a fact key absent from the dimension is
+        dropped (inner-join semantics), matching the partitioned-join
+        fallback path exactly — degenerate FKs never crash or mis-slice."""
+        if len(sk) == 0:
+            return np.zeros(len(keys), dtype=sv.dtype), np.zeros(len(keys), bool)
         pos = np.minimum(np.searchsorted(sk, keys), len(sk) - 1)
-        # FK integrity: every fact key resolves; misses would mis-slice
-        if not np.all(sk[pos] == keys):
-            raise ValueError("fact key missing from dimension map")
-        return sv[pos]
+        hit = sk[pos] == keys
+        return sv[pos], hit
+
+    def _nat_code(nationkeys: np.ndarray):
+        """nationkey → dense 0..n_nat-1 code with a membership mask; a
+        nationkey absent from a non-empty nation table is masked out (the
+        SQL inner join drops it), never wrapped or aliased to a neighbor."""
+        pos = np.minimum(np.searchsorted(nat_keys, nationkeys), n_nat - 1)
+        return pos, nat_keys[pos] == nationkeys
 
     def _rev4(t: pa.Table) -> np.ndarray:
         """Exact revenue in int64 1e-4 units: price is cents, discount is
@@ -3968,9 +3978,12 @@ def q7_nation_trade(
         ok, ov = _sorted_map(orders, "o_orderkey", "o_custkey")
         ck, cv = _sorted_map(cust, "c_custkey", "c_nationkey")
         sk, sv = _sorted_map(supp, "s_suppkey", "s_nationkey")
-        # customer/supplier nation keys → dense 0..n_nat-1 codes
-        cv = np.searchsorted(nat_keys, cv)
-        sv = np.searchsorted(nat_keys, sv)
+        # customer/supplier nation keys → dense 0..n_nat-1 codes; rows whose
+        # nationkey is missing from nation are dropped here (inner join)
+        cv, chit = _nat_code(cv)
+        ck, cv = ck[chit], cv[chit]
+        sv, shit = _nat_code(sv)
+        sk, sv = sk[shit], sv[shit]
         maps_ref = ray.put({"ok": ok, "ov": ov, "ck": ck, "cv": cv,
                             "sk": sk, "sv": sv})
 
@@ -3978,10 +3991,12 @@ def q7_nation_trade(
             m = ray.get(maps_ref)
             okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
             skey = t["l_suppkey"].to_numpy(zero_copy_only=False)
-            cnat = _lookup(_lookup(okey, m["ok"], m["ov"]), m["ck"], m["cv"])
-            snat = _lookup(skey, m["sk"], m["sv"])
+            ckey, hit_o = _lookup(okey, m["ok"], m["ov"])
+            cnat, hit_c = _lookup(ckey, m["ck"], m["cv"])
+            snat, hit_s = _lookup(skey, m["sk"], m["sv"])
+            keep = hit_o & hit_c & hit_s
             year = pc.year(t["l_shipdate"]).to_numpy(zero_copy_only=False)
-            return _partial(_rev4(t), snat, cnat, year)
+            return _partial(_rev4(t)[keep], snat[keep], cnat[keep], year[keep])
 
         grouped = li.map_batches(tag, batch_format="pyarrow")
     else:
@@ -3992,9 +4007,10 @@ def q7_nation_trade(
         # is already combined.
         def cust_code(t: pa.Table) -> pa.Table:
             nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+            code, hit = _nat_code(nk)
             return pa.table({
-                "c_custkey": t["c_custkey"],
-                "cnat": pa.array(np.searchsorted(nat_keys, nk), pa.int64()),
+                "c_custkey": t["c_custkey"].filter(pa.array(hit)),
+                "cnat": pa.array(code[hit], pa.int64()),
             })
 
         cust_n = cust.map_batches(cust_code, batch_format="pyarrow")
@@ -4008,20 +4024,23 @@ def q7_nation_trade(
         ).select_columns(["o_orderkey", "cnat"])
 
         sk, sv = _sorted_map(supp, "s_suppkey", "s_nationkey")
-        sv = np.searchsorted(nat_keys, sv)
+        sv, shit = _nat_code(sv)
+        sk, sv = sk[shit], sv[shit]
         s_ref = ray.put({"sk": sk, "sv": sv})
 
         def li_partial(t: pa.Table) -> pa.Table:
             m = ray.get(s_ref)
-            snat = _lookup(
+            snat, hit = _lookup(
                 t["l_suppkey"].to_numpy(zero_copy_only=False), m["sk"], m["sv"]
             )
             year = pc.year(t["l_shipdate"]).to_numpy(zero_copy_only=False)
             okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            rev4 = _rev4(t)[hit]
+            snat, year, okey = snat[hit], year[hit], okey[hit]
             code = (okey * n_nat + snat) * 4096 + year
             uniq, inv = np.unique(code, return_inverse=True)
             sums = np.zeros(len(uniq), dtype=np.int64)
-            np.add.at(sums, inv, _rev4(t))
+            np.add.at(sums, inv, rev4)
             return pa.table({
                 "l_orderkey": pa.array(uniq // (4096 * n_nat), pa.int64()),
                 "snat": pa.array((uniq // 4096) % n_nat, pa.int64()),
@@ -4212,6 +4231,16 @@ def events_type_transitions(sf_dir: str) -> ray.data.Dataset:
         )
         types = enc.dictionary
         k = len(types)
+        # sentinel-collision guard: a real event_type containing NUL would
+        # be silently rewritten to null after the shuffle — fail loud
+        # instead (one vectorized check over the ≤k distinct values)
+        if k and pc.any(
+            pc.match_substring(types.cast(pa.string()), _NULL_TYPE)
+        ).as_py():
+            raise ValueError(
+                "event_type contains the \\x00 null sentinel; "
+                "events_type_transitions cannot encode it"
+            )
         # null event_type rows: the SQL keeps a null NEXT group but the
         # WHERE drops null PREV rows — encode null as code k so the pair
         # math stays integral, decode through a null-suffixed dictionary

@@ -197,3 +197,76 @@ def test_q18_empty_orders_and_missing_customers(tmp_path):
     pq.write_table(cust.schema.empty_table(), str(tmp_path / "customer.parquet"))
     out = q18_big_orders(str(tmp_path)).to_pandas()
     assert len(out) == 0
+
+
+def test_q7_degenerate_fks_match_oracle_both_paths(tmp_path):
+    """Dangling FKs everywhere the join tree can dangle: a customer whose
+    nationkey is absent from nation, a supplier likewise, a lineitem whose
+    suppkey has no supplier, and an order whose custkey has no customer.
+    The SQL inner joins drop all of them; both the broadcast-lookup path
+    and the partitioned-join fallback must match the oracle exactly (was:
+    bare searchsorted aliased a missing nationkey to a neighbor's code)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from localhost_address_matching_ray.pipelines.queries import (
+        REGISTRY, q7_nation_trade,
+    )
+
+    for t in TABLES:
+        shutil.copy(f"{SF_DIR}/{t}.parquet", tmp_path / f"{t}.parquet")
+
+    def corrupt(name, col, frac=0.2, bump=10_000_000):
+        t = pq.read_table(str(tmp_path / f"{name}.parquet"))
+        v = t[col].to_numpy(zero_copy_only=False).copy()
+        k = max(1, int(len(v) * frac))
+        v[:k] = v[:k] + bump  # now points at nothing
+        t = t.set_column(
+            t.schema.get_field_index(col), col, pa.array(v, t.schema.field(col).type)
+        )
+        pq.write_table(t, str(tmp_path / f"{name}.parquet"))
+
+    corrupt("customer", "c_nationkey", bump=500)   # beyond any nationkey
+    corrupt("supplier", "s_nationkey", bump=500)
+    corrupt("lineitem", "l_suppkey")
+    corrupt("orders", "o_custkey")
+
+    con2 = duckdb.connect()
+    for t in TABLES:
+        con2.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    oracle = _canon(con2.execute(REGISTRY["q7_nation_trade"].sql).df())
+    assert len(oracle) > 0  # corruption left enough intact rows to compare
+    fast = _canon(q7_nation_trade(str(tmp_path)).to_pandas())
+    slow = _canon(q7_nation_trade(str(tmp_path), broadcast_keys_max=0).to_pandas())
+    pd.testing.assert_frame_equal(fast, oracle, check_dtype=False, check_exact=True)
+    pd.testing.assert_frame_equal(slow, oracle, check_dtype=False, check_exact=True)
+
+
+def test_transitions_nul_sentinel_collision_fails_loud(tmp_path):
+    """A real event_type containing \\x00 would collide with the null
+    sentinel riding the sort-shuffle; the guard must raise instead of
+    silently rewriting it to NULL in the output."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from localhost_address_matching_ray.pipelines.queries import REGISTRY
+
+    n = 10
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(
+            (np.int64(1_700_000_000_000_000) + np.arange(n)).astype("datetime64[us]")
+        ),
+        "user_id": pa.array(np.zeros(n, np.int64)),
+        "event_type": pa.array(["ok", "bad\x00type"] * (n // 2), pa.string()),
+        "value": pa.array(np.zeros(n)),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    with pytest.raises(Exception, match="sentinel"):
+        REGISTRY["events_type_transitions"].fn(str(tmp_path)).to_pandas()
