@@ -19,6 +19,7 @@ are registered as rows-only-checked queries alongside.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -3231,8 +3232,9 @@ def linkage_fixture_clusters(sf_dir: str) -> ray.data.Dataset:
 
 @register("multimodal_media_features", None,
           "multimodal decode + features — REAL pure-numpy decode for each "
-          "modality's interchange format (netpbm image / PCM WAV audio / "
-          "y4m video); codec formats honestly stubbed")
+          "modality's interchange format (netpbm + PNG image — PNG via the "
+          "stdlib zlib codec — / PCM WAV audio / y4m video); remaining "
+          "codec formats honestly stubbed")
 def multimodal_media_features(sf_dir: str) -> ray.data.Dataset:
     import os
     import pyarrow.parquet as pq
@@ -3250,7 +3252,7 @@ def multimodal_media_features(sf_dir: str) -> ray.data.Dataset:
 
 
 @register("multimodal_resize_frames", None,
-          "multimodal resize (REAL pure-numpy netpbm path) + video frame "
+          "multimodal resize (REAL netpbm + PNG paths) + video frame "
           "sampling (row-expanding actor stage; y4m streams decode REAL "
           "frames, codec video honestly stubbed) — features over the "
           "resized stream")
@@ -4337,11 +4339,46 @@ def q18_big_orders(
     n_big = per_order.count()
     if n_big == 0:
         return ray.data.from_arrow(out_schema.empty_table())
-    if n_big > survivors_max:  # pragma: no cover - HAVING keeps this tiny
-        raise ValueError(
-            f"{n_big} orders passed HAVING > {qty_threshold}; raise "
-            "survivors_max or lower the threshold — the broadcast join-back "
-            "assumes a post-HAVING set that fits the driver"
+    if n_big > survivors_max:
+        # beyond-broadcast: the post-HAVING survivor set no longer fits the
+        # driver, so switch to partitioned hash joins — orders joins the
+        # survivor key table, then customer joins that result. Same output
+        # as the broadcast path (pinned by the tiny-ceiling test below).
+        logging.getLogger(__name__).info(
+            "q18_big_orders: %d survivors > ceiling %d — partitioned-join "
+            "path", n_big, survivors_max,
+        )
+        orders_ds = read_table(sf_dir, "orders", columns=[
+            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+        ])
+        o_join = _inner_join(
+            orders_ds, per_order, n_left=orders_ds.count(),
+            on=("o_orderkey",), right_on=("l_orderkey",),
+            empty_schema=pa.schema([
+                ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_totalprice", pa.float64()), ("total_qty", pa.int64()),
+            ]),
+        ).materialize()
+        cust_ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        full = _inner_join(
+            o_join, cust_ds, n_left=o_join.count(),
+            on=("o_custkey",), right_on=("c_custkey",),
+            empty_schema=pa.schema([
+                ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_totalprice", pa.float64()), ("total_qty", pa.int64()),
+                ("c_name", pa.string()),
+            ]),
+        )
+        return full.map_batches(
+            lambda t: pa.table({
+                "c_name": t["c_name"], "o_orderkey": t["o_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "o_totalprice": t["o_totalprice"],
+                "total_qty": t["total_qty"],
+            }).cast(out_schema),
+            batch_format="pyarrow",
         )
     big = pa.concat_tables(
         [b for b in ray.get(per_order.to_arrow_refs()) if b.num_rows > 0]

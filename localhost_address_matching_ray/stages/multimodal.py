@@ -3,8 +3,10 @@
 Decoding: each modality's dependency-free interchange format is decoded
 FOR REAL in pure numpy — header parse + buffer reshape, no codec library:
 
-- images: netpbm P5 (grayscale) / P6 (RGB) → genuine image features
-  (dimensions, channel means/std, a coarse 3×3 luminance grid)
+- images: netpbm P5 (grayscale) / P6 (RGB), and PNG — a REAL compressed
+  codec, decoded with stdlib zlib + numpy unfiltering
+  (``functions/png.py``) — → genuine image features (dimensions, channel
+  means/std, a coarse 3×3 luminance grid)
 - audio: RIFF/WAVE PCM (8/16-bit, any channel count) → genuine audio
   features (duration, RMS, peak, zero-crossing rate, spectral band
   energies, an 8-segment envelope)
@@ -13,7 +15,7 @@ FOR REAL in pure numpy — header parse + buffer reshape, no codec library:
   a P5 netpbm image, so video → frames → image features composes through
   the REAL paths end to end
 
-Formats that need external codecs (JPEG/PNG/MP3/H.264 — libraries absent
+Formats that need external codecs (JPEG/MP3/H.264 — libraries absent
 in this container) raise ``NotImplementedError`` and a deterministic
 sha256-derived fake stands in, keeping the Ray-side plumbing (schema,
 actor-pool signature, small batches for wide binary rows, output layout)
@@ -30,6 +32,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import ray.data
+
+from localhost_address_matching_ray.functions.png import PNG_SIG, decode_png, encode_png
 
 #: Wide binary rows need small batches so batch × concurrency fits the heap
 #: (ray_guide: "large binary payloads need small batches").
@@ -289,18 +293,25 @@ def video_features(luma_frames: np.ndarray, fps: tuple[int, int]) -> np.ndarray:
 
 def real_decode(payload: bytes, kind: str) -> np.ndarray:
     """Decode + feature-extract. Real for the dependency-free interchange
-    formats (netpbm images, PCM WAV audio, y4m video); formats needing
-    external codecs (JPEG/PNG/MP3/H.264) raise — the deterministic fake
+    formats (netpbm/PNG images, PCM WAV audio, y4m video); formats needing
+    external codecs (JPEG/MP3/H.264) raise — the deterministic fake
     stands in for those in tests."""
     if kind == "image" and payload[:2] in (b"P5", b"P6"):
         return image_features(decode_netpbm(payload))
+    if kind == "image" and payload[:8] == PNG_SIG:
+        # real compressed-codec path: stdlib zlib inflate + numpy unfilter
+        # (functions/png.py); alpha dropped for the feature kernel
+        img = decode_png(payload)
+        if img.ndim == 3 and img.shape[2] in (2, 4):
+            img = img[:, :, :-1]
+        return image_features(img)
     if kind == "audio" and payload[:4] == b"RIFF":
         return audio_features(*decode_wav(payload))
     if kind == "video" and payload[:9] == b"YUV4MPEG2":
         return video_features(*decode_y4m(payload))
     raise NotImplementedError(
         f"decoding kind={kind!r} needs codec libraries not present in this "
-        "container (netpbm images, PCM WAV audio and y4m video decode "
+        "container (netpbm/PNG images, PCM WAV audio and y4m video decode "
         "natively); the deterministic fake stands in for tests"
     )
 
@@ -398,10 +409,16 @@ class MediaResizer:
                     resize_image(decode_netpbm(p), self.out_h, self.out_w)
                 )
                 widths[i], heights[i] = self.out_w, self.out_h
+            elif k == "image" and p[:8] == PNG_SIG:
+                # PNG round-trips through the stdlib codec; format preserved
+                payloads[i] = encode_png(
+                    resize_image(decode_png(p), self.out_h, self.out_w)
+                )
+                widths[i], heights[i] = self.out_w, self.out_h
             elif self.strict:
                 raise NotImplementedError(
                     f"resize of kind={k!r} needs codec libraries not present "
-                    "in this container (only netpbm images resize natively)"
+                    "in this container (only netpbm/PNG images resize natively)"
                 )
         out = batch.set_column(
             batch.schema.get_field_index("payload"), "payload",
@@ -533,7 +550,12 @@ def synthesize_media_table(docs: pa.Table) -> pa.Table:
         if kind == "image":
             img = np.frombuffer((seed * ((16 * 12 * 3) // 32 + 1)), dtype=np.uint8)
             img = img[: 16 * 12 * 3].reshape(12, 16, 3)
-            payloads.append(encode_netpbm(img))
+            if d % 6 == 0:
+                # every other image row is a REAL compressed PNG (stdlib
+                # zlib codec), cycling through all five scanline filters
+                payloads.append(encode_png(img, filter_type=(d // 6) % 5))
+            else:
+                payloads.append(encode_netpbm(img))
             widths.append(16); heights.append(12); rates.append(0)
         elif kind == "audio" and d % 15 != 1:  # REAL PCM WAV
             freq = 200.0 + seed[0] * 4

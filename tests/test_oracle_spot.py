@@ -270,3 +270,15 @@ def test_transitions_nul_sentinel_collision_fails_loud(tmp_path):
     pq.write_table(t, str(tmp_path / "events.parquet"))
     with pytest.raises(Exception, match="sentinel"):
         REGISTRY["events_type_transitions"].fn(str(tmp_path)).to_pandas()
+
+
+def test_q18_beyond_ceiling_partitioned_join_matches_broadcast():
+    """survivors_max=1 forces the partitioned hash-join fallback; its
+    output must be identical to the broadcast join-back path (which a
+    tiny ceiling would previously reject with a ValueError)."""
+    from localhost_address_matching_ray.pipelines.queries import q18_big_orders
+
+    fast = _canon(q18_big_orders(SF_DIR).to_pandas())
+    assert len(fast) > 0
+    slow = _canon(q18_big_orders(SF_DIR, survivors_max=1).to_pandas())
+    pd.testing.assert_frame_equal(fast, slow, check_exact=True)
