@@ -1392,35 +1392,45 @@ def q10_returned_revenue(
             ]),
             aggregator_ray_remote_args={"num_cpus": 0.25},
         )
-    top = (
+    agg = (
         per_cust.groupby("o_custkey").aggregate(Sum("rev", alias_name="revenue"))
         .map_batches(lambda t: _round_col(t, "revenue", 2), batch_format="pyarrow")
-        .sort(["revenue", "o_custkey"], descending=[True, False])
-        .limit(20)
-    )
-    rows = top.take_all()  # bounded: exactly the k=20 result rows
-    if not rows:
-        return ray.data.from_arrow(out_schema.empty_table())
-    keys = [int(r["o_custkey"]) for r in rows]
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_name", "c_nationkey"],
-        filters=[("c_custkey", "in", keys)],  # row-group pruned dim fetch
+        .materialize()
     )
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                            columns=["n_nationkey", "n_name"])
     n2n = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    # inner-join semantics on degenerate dims: a top customer whose customer
-    # row or nation is missing drops from the result (with intact FKs — the
-    # normal case — nothing drops and this is the SQL top-20 exactly)
-    c_info = {
-        int(k): (nm, n2n[int(nk)])
-        for k, nm, nk in zip(cust["c_custkey"].to_pylist(),
-                             cust["c_name"].to_pylist(),
-                             cust["c_nationkey"].to_pylist())
-        if int(nk) in n2n
-    }
-    kept = [(k, r) for k, r in zip(keys, rows) if k in c_info]
+    # exact degenerate-dim parity: the SQL inner joins drop a top customer
+    # whose customer row or nation is missing BEFORE LIMIT 20 and backfill
+    # with the next-ranked survivor — so over-fetch the distributed top-k,
+    # filter against the dims, truncate to 20, and widen the fetch only in
+    # the (adversarial-dims) case where survivors ran short while ranked
+    # candidates remain. With intact FKs the first fetch always suffices.
+    want, fetch = 20, 100
+    while True:
+        rows = (
+            agg.sort(["revenue", "o_custkey"], descending=[True, False])
+            .limit(fetch).take_all()
+        )  # bounded: ≤ fetch candidate rows (20 in the intact-FK case… 100)
+        if not rows:
+            return ray.data.from_arrow(out_schema.empty_table())
+        keys = [int(r["o_custkey"]) for r in rows]
+        cust = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name", "c_nationkey"],
+            filters=[("c_custkey", "in", keys)],  # row-group pruned dim fetch
+        )
+        c_info = {
+            int(k): (nm, n2n[int(nk)])
+            for k, nm, nk in zip(cust["c_custkey"].to_pylist(),
+                                 cust["c_name"].to_pylist(),
+                                 cust["c_nationkey"].to_pylist())
+            if int(nk) in n2n
+        }
+        kept = [(k, r) for k, r in zip(keys, rows) if k in c_info][:want]
+        if len(kept) >= want or len(rows) < fetch:
+            break  # filled the top-20, or the candidate set is exhausted
+        fetch *= 5
     return ray.data.from_arrow(pa.table({
         "c_custkey": pa.array([k for k, _ in kept], pa.int64()),
         "c_name": pa.array([c_info[k][0] for k, _ in kept], pa.string()),

@@ -282,3 +282,36 @@ def test_q18_beyond_ceiling_partitioned_join_matches_broadcast():
     assert len(fast) > 0
     slow = _canon(q18_big_orders(SF_DIR, survivors_max=1).to_pandas())
     pd.testing.assert_frame_equal(fast, slow, check_exact=True)
+
+
+def test_q10_degenerate_dims_backfill_to_20_matches_oracle(tmp_path):
+    """Customers missing from the customer table (or pointing at missing
+    nations) must be dropped BEFORE the top-20 cut, with next-ranked
+    survivors backfilling — exactly the SQL inner-join-then-LIMIT order
+    (was: filter after limit → short result)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from localhost_address_matching_ray.pipelines.queries import (
+        REGISTRY, q10_returned_revenue,
+    )
+
+    for t in TABLES:
+        shutil.copy(f"{SF_DIR}/{t}.parquet", tmp_path / f"{t}.parquet")
+    # drop 40% of customer rows entirely: many top-revenue customers now
+    # dangle, forcing the over-fetch + backfill path
+    cust = pq.read_table(str(tmp_path / "customer.parquet"))
+    pq.write_table(cust.slice(0, int(cust.num_rows * 0.6)),
+                   str(tmp_path / "customer.parquet"))
+
+    con2 = duckdb.connect()
+    for t in TABLES:
+        con2.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    oracle = _canon(con2.execute(REGISTRY["q10_returned_revenue"].sql).df())
+    mine = _canon(q10_returned_revenue(str(tmp_path)).to_pandas())
+    assert len(oracle) == 20  # enough surviving customers to fill the cut
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False, check_exact=True)
