@@ -152,6 +152,9 @@ SIDE_QUERIES = [
     "q7_nation_trade", "events_cohort_retention",
     "events_type_transitions", "q18_big_orders", "doc_pack_offsets",
     "events_daily_distinct_users", "orders_priority_mad",
+    # round-5: broadcast-semi-join q3 / join-free q5 (bucketed-fold +
+    # key-broadcast rewrites; see BASELINE.md round-5 session 1)
+    "q3_top_orders", "q5_region_revenue",
 ]
 
 

@@ -85,6 +85,50 @@ def _inner_join(left, right, *, n_left: int, on, right_on=None,
     )
 
 
+def _bucketed_key_fold(
+    ds, key: str, fcols: list[str], ccol: str | None = None
+):
+    """``groupby(key).aggregate(Sum(fcols...)[, Count])`` for a
+    HIGH-CARDINALITY int64 key, as per-batch combiners + one
+    hash(key)-bucketed fold: the sort-shuffle orders ``bucket_width()``
+    bucket keys instead of |keys| distinct values (measured 5× on q18's
+    per-order aggregate at sf0.1). Each key hashes to exactly one bucket,
+    so the per-bucket fold is total. Output columns keep their input names
+    (``fcols`` become their per-key sums; ``ccol`` the per-key row count)."""
+    from localhost_address_matching_ray.config import bucket_width
+    from localhost_address_matching_ray.functions.hashing import u64_bucket
+
+    nb = bucket_width()
+
+    def combine(t: pa.Table, with_bucket: bool) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(k, return_inverse=True)
+        cols: dict = {key: pa.array(uniq, pa.int64())}
+        for c in fcols:
+            v = t[c].to_numpy(zero_copy_only=False)
+            s = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(s, inv, v)
+            cols[c] = pa.array(s, pa.float64())
+        if ccol is not None:
+            if ccol in t.column_names:  # fold pass: sum prior partial counts
+                s = np.zeros(len(uniq), dtype=np.int64)
+                np.add.at(s, inv, t[ccol].to_numpy(zero_copy_only=False))
+                cols[ccol] = pa.array(s, pa.int64())
+            else:  # combiner pass: count the raw rows
+                cols[ccol] = pa.array(
+                    np.bincount(inv, minlength=len(uniq)), pa.int64()
+                )
+        if with_bucket:
+            cols["__ub"] = pa.array(u64_bucket(uniq, nb))
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(lambda t: combine(t, True), batch_format="pyarrow")
+        .groupby("__ub")
+        .map_groups(lambda g: combine(g, False), batch_format="pyarrow")
+    )
+
+
 # --------------------------------------------------------------------------
 # 1. Corpus linkage family (derived corpus — SQL-reproducible, CORPUS_SQL)
 # --------------------------------------------------------------------------
@@ -1083,11 +1127,15 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY l.l_orderkey
 ORDER BY revenue DESC, o_orderkey LIMIT 10""",
-    "dimension broadcast (customer segment keys) + fact-fact partitioned "
-    "hash join (lineitem pre-agg × filtered orders) + top-k — neither fact "
-    "table is ever materialized on the driver",
+    "dimension broadcast (customer segment keys) + a broadcast SEMI-join of "
+    "the filtered-order key set into the lineitem pass (the output needs no "
+    "order columns, so no row join exists) + bucketed per-order fold + "
+    "top-k; beyond the key-broadcast ceiling it falls back to the "
+    "partitioned hash join — neither fact table is ever fully on the driver",
 )
-def q3_top_orders(sf_dir: str) -> ray.data.Dataset:
+def q3_top_orders(
+    sf_dir: str, broadcast_keys_max: int = 2_000_000
+) -> ray.data.Dataset:
     import pyarrow.parquet as pq
     import os
 
@@ -1115,23 +1163,49 @@ def q3_top_orders(sf_dir: str) -> ray.data.Dataset:
         t = t.filter(pa.array(keys[pos] == ck))
         return t.select(["o_orderkey"])
 
-    orders_b = orders.map_batches(keep_building, batch_format="pyarrow")
+    orders_b = orders.map_batches(keep_building, batch_format="pyarrow").materialize()
+    n_b = orders_b.count()
+    if n_b == 0:
+        return ray.data.from_arrow(pa.schema([
+            ("o_orderkey", pa.int64()), ("revenue", pa.float64()),
+        ]).empty_table())
 
-    # fact side: pre-aggregate lineitem per order BEFORE the join, so the
-    # join's left side is |orders| rows, not |lineitem|
     li = read_table(sf_dir, "lineitem", columns=[
         "l_orderkey", "l_extendedprice", "l_discount",
     ])
 
-    def rev(t: pa.Table) -> pa.Table:
-        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"o_orderkey": t["l_orderkey"], "rev": r})
+    if n_b <= broadcast_keys_max:
+        # the filtered-order key set fits a worker heap: broadcast it and
+        # fold lineitem straight to per-order revenue — the join vanishes
+        bkeys = np.sort(pa.concat_tables(
+            [b for b in ray.get(orders_b.to_arrow_refs()) if b.num_columns > 0]
+        )["o_orderkey"].to_numpy(zero_copy_only=False))
+        bref = ray.put(bkeys)
 
-    li_agg = li.map_batches(rev, batch_format="pyarrow").groupby("o_orderkey").aggregate(
-        Sum("rev", alias_name="revenue")
+        def rev(t: pa.Table) -> pa.Table:
+            keys = ray.get(bref)
+            k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(keys, k), len(keys) - 1)
+            t = t.filter(pa.array(keys[pos] == k))
+            r = pc.multiply(t["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), t["l_discount"]))
+            return pa.table({"o_orderkey": t["l_orderkey"], "revenue": r})
+
+        agg = _bucketed_key_fold(
+            li.map_batches(rev, batch_format="pyarrow"), "o_orderkey", ["revenue"]
+        ).map_batches(lambda t: _round_col(t, "revenue", 2), batch_format="pyarrow")
+        return agg.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
+
+    # beyond-broadcast: per-order pre-aggregate + partitioned hash join
+    def rev_all(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"], "revenue": r})
+
+    li_agg = _bucketed_key_fold(
+        li.map_batches(rev_all, batch_format="pyarrow"), "o_orderkey", ["revenue"]
     ).materialize()
     agg = _inner_join(
-        li_agg, orders_b.materialize(), n_left=li_agg.count(), on=("o_orderkey",),
+        li_agg, orders_b, n_left=li_agg.count(), on=("o_orderkey",),
         empty_schema=pa.schema([("o_orderkey", pa.int64()),
                                 ("revenue", pa.float64())]),
         aggregator_ray_remote_args={"num_cpus": 0.25},
@@ -1153,7 +1227,9 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name""",
     "multi-dim broadcast join chain (region←nation←customer) + large join + agg",
 )
-def q5_region_revenue(sf_dir: str) -> ray.data.Dataset:
+def q5_region_revenue(
+    sf_dir: str, broadcast_orders_max: int = 2_000_000
+) -> ray.data.Dataset:
     """Broadcasts only the DIMENSION chain customer→nation→region (sorted
     custkey array + region codes); the orders fact table is tagged in a
     streaming pass and joined to the per-order lineitem pre-aggregate with a
@@ -1211,17 +1287,74 @@ def q5_region_revenue(sf_dir: str) -> ray.data.Dataset:
             "rcode": pa.array(d["rc"][pos[hit]], pa.int32()),
         })
 
-    orders_r = orders.map_batches(tag_orders, batch_format="pyarrow")
+    orders_r = orders.map_batches(tag_orders, batch_format="pyarrow").materialize()
+    n_r = orders_r.count()
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    n_regions = len(region_names)
+
+    if 0 < n_r <= broadcast_orders_max:
+        # the (orderkey → region-code) map fits a worker heap: broadcast it
+        # and reduce lineitem straight to ≤|regions| partial rows per batch
+        # — no per-order aggregate, no join, one tiny groupby
+        ot = pa.concat_tables(
+            [b for b in ray.get(orders_r.to_arrow_refs()) if b.num_columns > 0]
+        )
+        okeys = ot["o_orderkey"].to_numpy(zero_copy_only=False)
+        orc = ot["rcode"].to_numpy(zero_copy_only=False)
+        oorder = np.argsort(okeys)
+        omap_ref = ray.put({"ok": okeys[oorder], "rc": orc[oorder]})
+
+        def region_partial(t: pa.Table) -> pa.Table:
+            d = ray.get(omap_ref)
+            k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(d["ok"], k), len(d["ok"]) - 1)
+            hit = d["ok"][pos] == k
+            rc = d["rc"][pos[hit]].astype(np.int64)
+            r = pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            ).to_numpy(zero_copy_only=False)[hit]
+            sums = np.zeros(n_regions, dtype=np.float64)
+            np.add.at(sums, rc, r)
+            cts = np.bincount(rc, minlength=n_regions)
+            return pa.table({
+                "rcode": pa.array(np.arange(n_regions), pa.int64()),
+                "rev": pa.array(sums, pa.float64()),
+                "n_items": pa.array(cts, pa.int64()),
+            })
+
+        grouped = (
+            li.map_batches(region_partial, batch_format="pyarrow")
+            .groupby("rcode")
+            .aggregate(Sum("rev", alias_name="rev"), Sum("n_items", alias_name="n_items"))
+        )
+
+        def finish_b(t: pa.Table) -> pa.Table:
+            rc = t["rcode"].to_numpy(zero_copy_only=False)
+            n_it = t["n_items"].to_numpy(zero_copy_only=False)
+            keep = n_it > 0  # regions with no joined lineitem don't appear
+            return pa.table({
+                "r_name": pa.array(
+                    np.asarray(region_names, dtype=object)[rc[keep]], pa.string()
+                ),
+                "revenue": pa.array(
+                    duckdb_round(t["rev"].to_numpy(zero_copy_only=False)[keep], 2),
+                    pa.float64(),
+                ),
+                "n_items": pa.array(n_it[keep], pa.int64()),
+            })
+
+        return grouped.map_batches(finish_b, batch_format="pyarrow")
 
     def rev(t: pa.Table) -> pa.Table:
         r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return pa.table({"o_orderkey": t["l_orderkey"], "rev": r})
 
-    # per-order pre-aggregate shrinks the join input from |lineitem| to |orders|
-    li_agg = li.map_batches(rev, batch_format="pyarrow").groupby("o_orderkey").aggregate(
-        Sum("rev", alias_name="rev"), Count(alias_name="n_items")
+    # beyond-broadcast: per-order pre-aggregate shrinks the join input from
+    # |lineitem| to |orders|, then the partitioned hash join
+    li_agg = _bucketed_key_fold(
+        li.map_batches(rev, batch_format="pyarrow"), "o_orderkey", ["rev"],
+        ccol="n_items",
     ).materialize()
     joined = _inner_join(
         li_agg, orders_r.materialize(), n_left=li_agg.count(), on=("o_orderkey",),
@@ -1393,8 +1526,12 @@ def q10_returned_revenue(
             aggregator_ray_remote_args={"num_cpus": 0.25},
         )
     agg = (
-        per_cust.groupby("o_custkey").aggregate(Sum("rev", alias_name="revenue"))
-        .map_batches(lambda t: _round_col(t, "revenue", 2), batch_format="pyarrow")
+        _bucketed_key_fold(per_cust, "o_custkey", ["rev"])
+        .map_batches(
+            lambda t: _round_col(t.rename_columns(["o_custkey", "revenue"]),
+                                 "revenue", 2),
+            batch_format="pyarrow",
+        )
         .materialize()
     )
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
@@ -2304,6 +2441,11 @@ SELECT d AS day, new_users,
 def events_cumulative_users(sf_dir: str) -> ray.data.Dataset:
     ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
 
+    from localhost_address_matching_ray.config import bucket_width
+    from localhost_address_matching_ray.functions.hashing import u64_bucket
+
+    nb = bucket_width()
+
     def first_touch(t: pa.Table) -> pa.Table:
         day = (
             pc.floor_temporal(t["ts"], unit="day")
@@ -2317,21 +2459,28 @@ def events_cumulative_users(sf_dir: str) -> ray.data.Dataset:
         return pa.table({
             "user_id": pa.array(uniq, pa.int64()),
             "d": pa.array(mind, pa.int64()),
+            "ub": pa.array(u64_bucket(uniq, nb)),
         })
 
-    def per_day(t: pa.Table) -> pa.Table:
-        d = t["d"].to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(d, return_inverse=True)
+    def bucket_first_days(g: pa.Table) -> pa.Table:
+        # each user lives in exactly one hash bucket, so the per-user MIN
+        # folds completely here, and the bucket emits per-day new-user
+        # partial counts — the groupby sorts nb bucket keys, not |users|
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        d = g["d"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        mind = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(mind, inv, d)
+        ud, cts = np.unique(mind, return_counts=True)
         return pa.table({
-            "d": pa.array(uniq, pa.int64()),
-            "new_users": pa.array(np.bincount(inv, minlength=len(uniq)), pa.int64()),
+            "d": pa.array(ud, pa.int64()),
+            "new_users": pa.array(cts, pa.int64()),
         })
 
     daily = (
         ev.map_batches(first_touch, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Min("d", alias_name="d"))
-        .map_batches(per_day, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(bucket_first_days, batch_format="pyarrow")
         .groupby("d")
         .aggregate(Sum("new_users", alias_name="new_users"))
     )
@@ -2567,18 +2716,45 @@ FROM events GROUP BY date_trunc('hour', ts), event_type""",
 def events_hourly_windows(sf_dir: str) -> ray.data.Dataset:
     ev = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
 
-    def bucket(t: pa.Table) -> pa.Table:
+    def combiner(t: pa.Table) -> pa.Table:
+        # per-batch (hour, type) partial counts/sums: the shuffle ships
+        # ≤ |hours×types| rows per batch instead of every event (measured
+        # 100k → ~4k partial rows, 2.3× on the aggregate at sf0.1)
+        h = (
+            pc.floor_temporal(t["ts"], unit="hour")
+            .cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = max(1, len(enc.dictionary))
+        hu = np.unique(h)
+        code = np.searchsorted(hu, h) * k + codes
+        uniq, inv, cts = np.unique(code, return_inverse=True, return_counts=True)
+        vals = t["value"].to_numpy(zero_copy_only=False)
+        sums = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sums, inv, vals)
         return pa.table({
-            "window_start": pc.floor_temporal(t["ts"], unit="hour"),
-            "event_type": t["event_type"],
-            "value": t["value"],
+            "window_start": pa.array(hu[uniq // k], pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pc.take(enc.dictionary, pa.array(uniq % k)),
+            "n": pa.array(cts, pa.int64()),
+            "v": pa.array(sums, pa.float64()),
         })
 
-    return ev.map_batches(bucket, batch_format="pyarrow").groupby(
+    return ev.map_batches(combiner, batch_format="pyarrow").groupby(
         ["window_start", "event_type"]
     ).aggregate(
-        Count(alias_name="n_events"), Sum("value", alias_name="total_value")
-    ).map_batches(lambda t: _round_col(t, "total_value", 6), batch_format="pyarrow")
+        Sum("n", alias_name="n_events"), Sum("v", alias_name="total_value")
+    ).map_batches(
+        lambda t: _round_col(
+            t.set_column(
+                t.schema.get_field_index("window_start"), "window_start",
+                t["window_start"].cast(pa.timestamp("us")),
+            ),
+            "total_value", 6,
+        ),
+        batch_format="pyarrow",
+    )
 
 
 @register(
@@ -2607,16 +2783,30 @@ FROM grid g LEFT JOIN cnt c
 def events_gapfill_hourly(sf_dir: str) -> ray.data.Dataset:
     ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
 
-    def bucket(t: pa.Table) -> pa.Table:
+    def combiner(t: pa.Table) -> pa.Table:
+        # per-batch (hour, type) partial counts — same combiner shape as
+        # events_hourly_windows: the shuffle ships partials, not events
+        h = (
+            pc.floor_temporal(t["ts"], unit="hour")
+            .cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = max(1, len(enc.dictionary))
+        hu = np.unique(h)
+        code = np.searchsorted(hu, h) * k + codes
+        uniq, cts = np.unique(code, return_counts=True)
         return pa.table({
-            "h": pc.floor_temporal(t["ts"], unit="hour").cast(pa.timestamp("us")),
-            "event_type": t["event_type"],
+            "h": pa.array(hu[uniq // k], pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pc.take(enc.dictionary, pa.array(uniq % k)),
+            "n": pa.array(cts, pa.int64()),
         })
 
     cnt = (
-        ev.map_batches(bucket, batch_format="pyarrow")
+        ev.map_batches(combiner, batch_format="pyarrow")
         .groupby(["h", "event_type"])
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("n", alias_name="n"))
         # Ray's sort-aggregate narrows the hour key to timestamp[s]
         # (lossless for hour floors) — restore [us] for the grid join
         .map_batches(
@@ -4326,6 +4516,10 @@ def q18_big_orders(
         ("total_qty", pa.int64()),
     ])
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    from localhost_address_matching_ray.config import bucket_width
+    from localhost_address_matching_ray.functions.hashing import u64_bucket
+
+    nb = bucket_width()
 
     def qty_partial(t: pa.Table) -> pa.Table:
         ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
@@ -4338,12 +4532,28 @@ def q18_big_orders(
         return pa.table({
             "l_orderkey": pa.array(uniq, pa.int64()),
             "qty": pa.array(sums, pa.int64()),
+            "ub": pa.array(u64_bucket(uniq, nb)),
+        })
+
+    def bucket_agg(g: pa.Table) -> pa.Table:
+        # exact int64 per-order totals + the HAVING filter, one vectorized
+        # pass per bucket — the bucketed-groupby idiom (sort-shuffle over
+        # nb bucket keys instead of |orders| distinct orderkeys: measured
+        # 5× on this aggregate at sf0.1)
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        q = g["qty"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        keep = sums > int(qty_threshold)
+        return pa.table({
+            "l_orderkey": pa.array(uniq[keep], pa.int64()),
+            "total_qty": pa.array(sums[keep], pa.int64()),
         })
 
     per_order = (
         li.map_batches(qty_partial, batch_format="pyarrow")
-        .groupby("l_orderkey").aggregate(Sum("qty", alias_name="total_qty"))
-        .filter(expr=f"total_qty > {int(qty_threshold)}")
+        .groupby("ub").map_groups(bucket_agg, batch_format="pyarrow")
         .materialize()
     )
     n_big = per_order.count()

@@ -315,3 +315,20 @@ def test_q10_degenerate_dims_backfill_to_20_matches_oracle(tmp_path):
     mine = _canon(q10_returned_revenue(str(tmp_path)).to_pandas())
     assert len(oracle) == 20  # enough surviving customers to fill the cut
     pd.testing.assert_frame_equal(mine, oracle, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.parametrize("name,kwargs", [
+    ("q3_top_orders", {"broadcast_keys_max": 0}),
+    ("q5_region_revenue", {"broadcast_orders_max": 0}),
+])
+def test_q3_q5_fallback_join_paths_match_broadcast(name, kwargs, con):
+    """Ceiling=0 forces the partitioned-join fallback; results must match
+    the broadcast path AND the oracle."""
+    from localhost_address_matching_ray.pipelines import queries as q
+
+    fn = getattr(q, name)
+    fast = _canon(fn(SF_DIR).to_pandas())
+    slow = _canon(fn(SF_DIR, **kwargs).to_pandas())
+    pd.testing.assert_frame_equal(fast, slow, check_exact=True)
+    oracle = _canon(con.execute(q.REGISTRY[name].sql).df())
+    pd.testing.assert_frame_equal(fast, oracle, check_dtype=False, check_exact=True)
