@@ -1768,11 +1768,14 @@ def customers_above_nation_avg(sf_dir: str) -> ray.data.Dataset:
                 pa.int64()),
         })
 
-    agg = (
-        cust.map_batches(partial, batch_format="pyarrow")
-        .groupby("nk").aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
-    )
-    parts = [t for t in ray.get(agg.to_arrow_refs()) if t.num_columns > 0]
+    # per-batch partials are ≤|nations| rows each, so the collect is
+    # key-domain-bounded (nations × blocks) and the final fold is one
+    # np pass — a distributed Aggregate here is pure all-to-all overhead
+    parts = [
+        t for t in ray.get(
+            cust.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        ) if t.num_columns > 0
+    ]
     out_schema = pa.schema([
         ("c_custkey", pa.int64()), ("c_name", pa.string()), ("n_name", pa.string()),
         ("bal_cents", pa.int64()), ("avg_cents", pa.float64()),
@@ -1780,18 +1783,19 @@ def customers_above_nation_avg(sf_dir: str) -> ray.data.Dataset:
     if not parts or sum(t.num_rows for t in parts) == 0:
         return ray.data.from_arrow(out_schema.empty_table())
     at = pa.concat_tables(parts)
-    # dense-key LUTs (nation keys are small ints): O(1) vectorized gather
-    # per batch instead of a per-row dict probe
-    nk_agg = at["nk"].to_numpy(zero_copy_only=False)
+    # fold the per-batch partials (several rows per nation) to one row per
+    # nation, then dense-key LUTs (nation keys are small ints): O(1)
+    # vectorized gather per batch instead of a per-row dict probe
+    raw_nk = at["nk"].to_numpy(zero_copy_only=False)
+    nk_agg, inv = np.unique(raw_nk, return_inverse=True)
+    n_sum = np.bincount(inv, weights=at["n"].to_numpy(zero_copy_only=False))
+    c_sum = np.bincount(inv, weights=at["cents"].to_numpy(zero_copy_only=False))
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                            columns=["n_nationkey", "n_name"])
     n_keys = nation["n_nationkey"].to_numpy(zero_copy_only=False)
     width = int(max(nk_agg.max(), n_keys.max() if len(n_keys) else 0)) + 1
     avg_lut = np.full(width, np.nan, np.float64)
-    avg_lut[nk_agg] = (
-        at["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
-        / at["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    )
+    avg_lut[nk_agg] = c_sum / n_sum
     name_lut = np.full(width, "", dtype=object)
     name_lut[n_keys] = np.asarray(nation["n_name"].to_pylist(), dtype=object)
     has_nation = np.zeros(width, dtype=bool)

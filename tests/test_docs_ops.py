@@ -733,3 +733,21 @@ def test_pack_offsets_matches_serial_scan():
     assert list(out.start_bin) == list(start // 5)
     end = np.where(nt > 0, (start + nt - 1) // 5, start // 5)
     assert list(out.end_bin) == list(end)
+
+
+def test_bigram_lift_fallback_join_path_matches_broadcast(monkeypatch):
+    """VOCAB ceiling 0 forces the partitioned-join count-attach; output
+    must equal the broadcast pc.index_in path."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from localhost_address_matching_ray.stages import docs_ops
+
+    docs = ray.data.from_arrow(
+        pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["text"])
+    )
+    fast = docs_ops.bigram_lift(docs, min_count=5, k=20).to_pandas()
+    monkeypatch.setattr(docs_ops, "BIGRAM_VOCAB_BROADCAST_MAX", 0)
+    slow = docs_ops.bigram_lift(docs, min_count=5, k=20).to_pandas()
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) == 20
