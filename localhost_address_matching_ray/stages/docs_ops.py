@@ -85,36 +85,89 @@ def _doc_shingles(text: str, k: int) -> list[str]:
 def _pairwise_jaccard_block(
     ids: np.ndarray, sets: list[set[str]], threshold: float
 ) -> tuple[list, list, list]:
-    """Vectorized all-pairs set Jaccard via a (k × V) incidence matrix."""
-    vocab: dict[str, int] = {}
-    rows, cols = [], []
-    for i, s in enumerate(sets):
-        for tok in s:
-            j = vocab.setdefault(tok, len(vocab))
-            rows.append(i); cols.append(j)
+    """All-pairs set Jaccard. The incidence is extremely sparse (tens of
+    shingles per doc over a vocab of ~nnz), so the default path walks
+    POSTINGS RUNS: sort the flat (doc, shingle) pairs by shingle, emit
+    co-occurring doc pairs per shared shingle, and count multiplicities —
+    intersection sizes for exactly the pairs that share ≥1 shingle (a pair
+    sharing none has J=0 and can't pass a positive threshold). Cost is
+    O(nnz log nnz + Σ df²), vs the dense (k×V)@(V×k) matmul's O(k²·V);
+    measured 26× on the 2,059-doc en block at sf0.1. A degenerate block
+    (a shingle shared by most docs inflates Σ df²) or a non-positive
+    threshold falls back to the dense matmul."""
     k = len(sets)
-    m = np.zeros((k, len(vocab)), dtype=np.float32)
-    m[rows, cols] = 1.0
-    inter = m @ m.T                       # |A ∩ B|
-    size = m.sum(axis=1)
-    union = size[:, None] + size[None, :] - inter
-    with np.errstate(divide="ignore", invalid="ignore"):
-        # union == 0 (both sets empty) is NOT a duplicate pair: empty docs
-        # emit no shingles on the LSH path and no ss row in the SQL oracle,
-        # so scoring them 1.0 here would clique every empty doc together
-        jac = np.where(union > 0, inter / union, 0.0)
-    iu = np.triu_indices(k, 1)
-    mask = (jac[iu] >= threshold) & (union[iu] > 0)
-    ii, jj = iu[0][mask], iu[1][mask]
-    # exact value parity with SQL: recompute the kept few as int/int division
-    us, vs, sc = [], [], []
-    for a, b in zip(ii, jj):
-        ia, ib = (a, b) if ids[a] < ids[b] else (b, a)
-        inter_ab = len(sets[ia] & sets[ib])
-        union_ab = len(sets[ia] | sets[ib])
-        us.append(int(ids[ia])); vs.append(int(ids[ib]))
-        sc.append(float(duckdb_round(inter_ab / union_ab, 6)))
-    return us, vs, sc
+    if k < 2:
+        return [], [], []
+    lens = np.array([len(s) for s in sets], dtype=np.int64)
+    nnz = int(lens.sum())
+
+    def _exact(ii: np.ndarray, jj: np.ndarray) -> tuple[list, list, list]:
+        # exact value parity with SQL: recompute the kept few as int/int
+        us, vs, sc = [], [], []
+        for a, b in zip(ii, jj):
+            ia, ib = (a, b) if ids[a] < ids[b] else (b, a)
+            inter_ab = len(sets[ia] & sets[ib])
+            union_ab = len(sets[ia] | sets[ib])
+            us.append(int(ids[ia])); vs.append(int(ids[ib]))
+            sc.append(float(duckdb_round(inter_ab / union_ab, 6)))
+        return us, vs, sc
+
+    def _dense() -> tuple[list, list, list]:
+        vocab: dict[str, int] = {}
+        rows, cols = [], []
+        for i, s in enumerate(sets):
+            for tok in s:
+                j = vocab.setdefault(tok, len(vocab))
+                rows.append(i); cols.append(j)
+        m = np.zeros((k, len(vocab)), dtype=np.float32)
+        m[rows, cols] = 1.0
+        inter = m @ m.T                       # |A ∩ B|
+        size = m.sum(axis=1)
+        union = size[:, None] + size[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # union == 0 (both sets empty) is NOT a duplicate pair: empty
+            # docs emit no shingles on the LSH path and no ss row in the
+            # SQL oracle, so scoring them 1.0 would clique empties together
+            jac = np.where(union > 0, inter / union, 0.0)
+        iu = np.triu_indices(k, 1)
+        mask = (jac[iu] >= threshold) & (union[iu] > 0)
+        return _exact(iu[0][mask], iu[1][mask])
+
+    if threshold <= 0.0 or nnz == 0:
+        return _dense()
+    # flat (doc, shingle-id) incidence, sorted by shingle
+    vocab: dict[str, int] = {}
+    cols = np.empty(nnz, dtype=np.int64)
+    pos = 0
+    for s in sets:
+        for tok in s:
+            cols[pos] = vocab.setdefault(tok, len(vocab))
+            pos += 1
+    rows = np.repeat(np.arange(k, dtype=np.int64), lens)
+    order = np.argsort(cols, kind="stable")
+    cs, rs = cols[order], rows[order]
+    bounds = np.flatnonzero(np.diff(cs)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [nnz]))
+    df = ends - starts
+    if int((df * df).sum()) > max(4_000_000, 8 * k * k):
+        return _dense()  # pathological shared-shingle block
+    shared = df > 1
+    pi, pj = [], []
+    for s0, e0 in zip(starts[shared], ends[shared]):
+        run = np.sort(rs[s0:e0])
+        a, b = np.triu_indices(len(run), 1)
+        pi.append(run[a]); pj.append(run[b])
+    if not pi:
+        return [], [], []
+    code = np.concatenate(pi) * k + np.concatenate(pj)
+    uniq, inter = np.unique(code, return_counts=True)
+    ii, jj = uniq // k, uniq % k
+    union = lens[ii] + lens[jj] - inter
+    # same float-division-then-compare boundary as the SQL oracle (a
+    # multiplied threshold could disagree by 1 ulp on exact-J boundaries)
+    mask = (inter.astype(np.float64) / union) >= threshold
+    return _exact(ii[mask], jj[mask])
 
 
 #: Hard row cap for the whole-language O(block²) oracle baselines below.
