@@ -751,3 +751,33 @@ def test_bigram_lift_fallback_join_path_matches_broadcast(monkeypatch):
     slow = docs_ops.bigram_lift(docs, min_count=5, k=20).to_pandas()
     pd.testing.assert_frame_equal(fast, slow)
     assert len(fast) == 20
+
+
+def test_pairwise_jaccard_sparse_matches_dense_randomized():
+    """The postings-run sparse path must agree with the dense-matmul path
+    (forced via threshold<=0 + post-filter) on random blocks, including
+    empty sets, ties at the threshold boundary, and near-clique blocks."""
+    import numpy as np
+
+    from localhost_address_matching_ray.stages.docs_ops import (
+        _pairwise_jaccard_block,
+    )
+
+    rng = np.random.default_rng(0)
+    for trial in range(40):
+        n = int(rng.integers(2, 40))
+        vocab = [f"tok{i}" for i in range(int(rng.integers(4, 30)))]
+        sets = [
+            set(rng.choice(
+                vocab,
+                size=int(rng.integers(0, min(12, len(vocab) + 1))),
+                replace=False,
+            ))
+            for _ in range(n)
+        ]
+        ids = np.arange(n, dtype=np.int64) * 7
+        thr = float(rng.choice([0.2, 0.5, 2 / 3, 0.8, 0.97, 1.0]))
+        sparse = sorted(zip(*_pairwise_jaccard_block(ids, sets, thr)))
+        dense_all = zip(*_pairwise_jaccard_block(ids, sets, 0.0))
+        dense = sorted((u, v, s) for u, v, s in dense_all if s >= thr)
+        assert sparse == dense, (trial, thr, sparse[:3], dense[:3])
