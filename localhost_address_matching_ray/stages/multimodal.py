@@ -3,10 +3,10 @@
 Decoding: each modality's dependency-free interchange format is decoded
 FOR REAL in pure numpy — header parse + buffer reshape, no codec library:
 
-- images: netpbm P5 (grayscale) / P6 (RGB), and PNG — a REAL compressed
-  codec, decoded with stdlib zlib + numpy unfiltering
-  (``functions/png.py``) — → genuine image features (dimensions, channel
-  means/std, a coarse 3×3 luminance grid)
+- images: netpbm P5 (grayscale) / P6 (RGB), PNG (stdlib zlib + numpy
+  unfiltering, ``functions/png.py``) and baseline JPEG (pure
+  Huffman+DCT decode, ``functions/jpeg.py``) → genuine image features
+  (dimensions, channel means/std, a coarse 3×3 luminance grid)
 - audio: RIFF/WAVE PCM (8/16-bit, any channel count) → genuine audio
   features (duration, RMS, peak, zero-crossing rate, spectral band
   energies, an 8-segment envelope)
@@ -15,8 +15,8 @@ FOR REAL in pure numpy — header parse + buffer reshape, no codec library:
   a P5 netpbm image, so video → frames → image features composes through
   the REAL paths end to end
 
-Formats that need external codecs (JPEG/MP3/H.264 — libraries absent
-in this container) raise ``NotImplementedError`` and a deterministic
+Formats that need external codecs (MP3/H.264/progressive JPEG —
+libraries absent in this container) raise ``NotImplementedError`` and a deterministic
 sha256-derived fake stands in, keeping the Ray-side plumbing (schema,
 actor-pool signature, small batches for wide binary rows, output layout)
 real and tested either way. Mirrors the reference's NER stage shape —
@@ -33,6 +33,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from localhost_address_matching_ray.functions.jpeg import decode_jpeg, encode_jpeg
 from localhost_address_matching_ray.functions.png import PNG_SIG, decode_png, encode_png
 
 #: Wide binary rows need small batches so batch × concurrency fits the heap
@@ -293,8 +294,8 @@ def video_features(luma_frames: np.ndarray, fps: tuple[int, int]) -> np.ndarray:
 
 def real_decode(payload: bytes, kind: str) -> np.ndarray:
     """Decode + feature-extract. Real for the dependency-free interchange
-    formats (netpbm/PNG images, PCM WAV audio, y4m video); formats needing
-    external codecs (JPEG/MP3/H.264) raise — the deterministic fake
+    formats (netpbm/PNG/baseline-JPEG images, PCM WAV audio, y4m video);
+    formats needing external codecs (MP3/H.264) raise — the deterministic fake
     stands in for those in tests."""
     if kind == "image" and payload[:2] in (b"P5", b"P6"):
         return image_features(decode_netpbm(payload))
@@ -305,13 +306,16 @@ def real_decode(payload: bytes, kind: str) -> np.ndarray:
         if img.ndim == 3 and img.shape[2] in (2, 4):
             img = img[:, :, :-1]
         return image_features(img)
+    if kind == "image" and payload[:2] == b"\xFF\xD8":
+        # baseline JPEG — real Huffman+DCT decode (functions/jpeg.py)
+        return image_features(decode_jpeg(payload))
     if kind == "audio" and payload[:4] == b"RIFF":
         return audio_features(*decode_wav(payload))
     if kind == "video" and payload[:9] == b"YUV4MPEG2":
         return video_features(*decode_y4m(payload))
     raise NotImplementedError(
         f"decoding kind={kind!r} needs codec libraries not present in this "
-        "container (netpbm/PNG images, PCM WAV audio and y4m video decode "
+        "container (netpbm/PNG/JPEG images, PCM WAV audio and y4m video decode "
         "natively); the deterministic fake stands in for tests"
     )
 
@@ -415,10 +419,16 @@ class MediaResizer:
                     resize_image(decode_png(p), self.out_h, self.out_w)
                 )
                 widths[i], heights[i] = self.out_w, self.out_h
+            elif k == "image" and p[:2] == b"\xFF\xD8":
+                # JPEG round-trips through the baseline codec
+                payloads[i] = encode_jpeg(
+                    resize_image(decode_jpeg(p), self.out_h, self.out_w)
+                )
+                widths[i], heights[i] = self.out_w, self.out_h
             elif self.strict:
                 raise NotImplementedError(
                     f"resize of kind={k!r} needs codec libraries not present "
-                    "in this container (only netpbm/PNG images resize natively)"
+                    "in this container (netpbm/PNG/JPEG images resize natively)"
                 )
         out = batch.set_column(
             batch.schema.get_field_index("payload"), "payload",
@@ -554,6 +564,9 @@ def synthesize_media_table(docs: pa.Table) -> pa.Table:
                 # every other image row is a REAL compressed PNG (stdlib
                 # zlib codec), cycling through all five scanline filters
                 payloads.append(encode_png(img, filter_type=(d // 6) % 5))
+            elif d % 6 == 3:
+                # and a third of the rest are REAL baseline JPEGs
+                payloads.append(encode_jpeg(img, quality=90))
             else:
                 payloads.append(encode_netpbm(img))
             widths.append(16); heights.append(12); rates.append(0)
