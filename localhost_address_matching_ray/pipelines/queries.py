@@ -2761,6 +2761,11 @@ def events_hourly_windows(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+#: aggregated (hour, type) rows above which gapfill falls back from the
+#: broadcast zero-fill to the distributed left join
+GAPFILL_BROADCAST_MAX = 5_000_000
+
+
 @register(
     "events_gapfill_hourly",
     """
@@ -2838,9 +2843,53 @@ def events_gapfill_hourly(sf_dir: str) -> ray.data.Dataset:
     n_hours = (hi_us - lo_us) // hour_us + 1
     types = sorted(cnt.unique("event_type"))  # bounded: distinct event types
 
+    k_types = len(types)
+    n_cnt = cnt.count()
+    if n_cnt <= GAPFILL_BROADCAST_MAX:
+        # the aggregated counts are (hours × types)-domain-bounded; under
+        # the usual broadcast ceiling, ship them once as a sorted
+        # (hour_idx·K + type_code) key array and zero-fill inside the grid
+        # expansion itself — the left join's aggregator spin-up cost more
+        # than this whole pass (the join remains as the beyond-ceiling path)
+        ct = pa.concat_tables(
+            [b for b in ray.get(cnt.to_arrow_refs()) if b.num_columns > 0]
+        )
+        types_arr = pa.array(types, pa.string())
+        hidx = (
+            (ct["h"].cast(pa.int64()).to_numpy(zero_copy_only=False) - lo_us)
+            // hour_us
+        )
+        tcode = pc.index_in(
+            ct["event_type"], value_set=types_arr
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        code = hidx * k_types + tcode
+        corder = np.argsort(code)
+        cref = ray.put((
+            code[corder],
+            ct["n"].to_numpy(zero_copy_only=False)[corder],
+        ))
+
+        def expand_fill(t: pa.Table) -> pa.Table:
+            codes_s, ns = ray.get(cref)
+            ids = t["id"].to_numpy(zero_copy_only=False)
+            gcode = (ids[:, None] * k_types
+                     + np.arange(k_types)[None, :]).ravel()
+            pos = np.minimum(np.searchsorted(codes_s, gcode), len(codes_s) - 1)
+            hit = codes_s[pos] == gcode
+            ws = np.repeat(lo_us + ids * hour_us, k_types)
+            return pa.table({
+                "window_start": pa.array(ws, pa.int64()).cast(pa.timestamp("us")),
+                "event_type": pa.array(np.tile(np.asarray(types, "U"), len(ids))),
+                "n_events": pa.array(np.where(hit, ns[pos], 0), pa.int64()),
+            })
+
+        return ray.data.range(n_hours).map_batches(
+            expand_fill, batch_format="pyarrow"
+        )
+
     def expand(t: pa.Table) -> pa.Table:
         ids = t["id"].to_numpy(zero_copy_only=False)
-        ws = np.repeat(lo_us + ids * hour_us, len(types))
+        ws = np.repeat(lo_us + ids * hour_us, k_types)
         return pa.table({
             "window_start": pa.array(ws, pa.int64()).cast(pa.timestamp("us")),
             "event_type": pa.array(np.tile(np.asarray(types, "U"), len(ids))),
@@ -2849,7 +2898,7 @@ def events_gapfill_hourly(sf_dir: str) -> ray.data.Dataset:
     grid = ray.data.range(n_hours).map_batches(expand, batch_format="pyarrow")
     joined = grid.join(
         cnt, join_type="left_outer",
-        num_partitions=_join_parts(n_hours * len(types)),
+        num_partitions=_join_parts(n_hours * k_types),
         on=("window_start", "event_type"), right_on=("h", "event_type"),
         aggregator_ray_remote_args={"num_cpus": 0.25},
     )
@@ -4107,9 +4156,18 @@ def q7_nation_trade(
     nat_keys, nat_names = nat_keys[nat_order], nat_names[nat_order]
     n_nat = len(nat_keys)
 
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    # materialize the three key-map tables once: count(), and (on the
+    # broadcast path) the _sorted_map collects, reuse the same blocks
+    # instead of re-executing each read pipeline
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey"]
+    ).materialize()
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).materialize()
+    supp = read_table(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    ).materialize()
     li = read_table(
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_suppkey", "l_shipdate",

@@ -332,3 +332,16 @@ def test_q3_q5_fallback_join_paths_match_broadcast(name, kwargs, con):
     pd.testing.assert_frame_equal(fast, slow, check_exact=True)
     oracle = _canon(con.execute(q.REGISTRY[name].sql).df())
     pd.testing.assert_frame_equal(fast, oracle, check_dtype=False, check_exact=True)
+
+
+def test_gapfill_fallback_join_path_matches_broadcast(monkeypatch, con):
+    """Ceiling 0 forces the distributed left-join zero-fill; output must
+    match the broadcast grid-fill path and the oracle."""
+    from localhost_address_matching_ray.pipelines import queries as q
+
+    fast = _canon(q.events_gapfill_hourly(SF_DIR).to_pandas())
+    monkeypatch.setattr(q, "GAPFILL_BROADCAST_MAX", 0)
+    slow = _canon(q.events_gapfill_hourly(SF_DIR).to_pandas())
+    pd.testing.assert_frame_equal(fast, slow, check_exact=True)
+    oracle = _canon(con.execute(q.REGISTRY["events_gapfill_hourly"].sql).df())
+    pd.testing.assert_frame_equal(fast, oracle, check_dtype=False, check_exact=True)
