@@ -108,3 +108,37 @@ def test_lsh_cosine_pairs_matches_bruteforce():
         assert v == exact[k]
     if exact:
         assert len(lsh) >= len(exact) * 0.5, (len(lsh), len(exact))
+
+
+def test_gzip_compressed_csv_and_jsonl_sources(tmp_path):
+    """Real-world corpus dumps arrive gzipped; the readers must stream
+    .csv.gz / .jsonl.gz transparently (Arrow infers the codec from the
+    extension) with the same string-typed, null-free coercion."""
+    import gzip
+    import json
+
+    rows = [
+        {"repo": "r1", "path": "a/B.py", "commit": "c1", "lang": "python",
+         "content": "x = 1\n"},
+        {"repo": "r2", "path": "a/b.py", "commit": "c2", "lang": "go",
+         "content": ""},
+    ]
+    csv_gz = str(tmp_path / "corpus.csv.gz")
+    with gzip.open(csv_gz, "wt", newline="") as f:
+        f.write("repo,path,commit,lang,content\n")
+        for r in rows:
+            f.write(",".join(
+                '"' + r[c].replace('"', '""').replace("\n", "\\n") + '"'
+                if c == "content" else r[c]
+                for c in ["repo", "path", "commit", "lang", "content"]
+            ) + "\n")
+    jsonl_gz = str(tmp_path / "corpus.jsonl.gz")
+    with gzip.open(jsonl_gz, "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out = sorted(read_corpus_json(jsonl_gz).take_all(), key=lambda r: r["repo"])
+    assert [r["repo"] for r in out] == ["r1", "r2"]
+    assert out[0]["content"] == "x = 1\n"
+    assert out[1]["content"] == ""  # null→'' coercion survives the codec
+    out_csv = sorted(read_corpus_csv(csv_gz).take_all(), key=lambda r: r["repo"])
+    assert [r["lang"] for r in out_csv] == ["python", "go"]
