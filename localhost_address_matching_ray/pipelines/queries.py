@@ -1706,13 +1706,14 @@ def orders_priority_share(sf_dir: str) -> ray.data.Dataset:
                 pa.int64()),
         })
 
-    fine = (
-        orders.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_orderpriority")
-        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
-    )
-    # key-domain-bounded collect (≤ |priorities| rows) for the global total
-    parts = [t for t in ray.get(fine.to_arrow_refs()) if t.num_columns > 0]
+    # key-domain-bounded collect: ≤ |priorities| partial rows per batch,
+    # folded on the driver (the distributed groupby between combiner and a
+    # fold this small is pure all-to-all overhead)
+    parts = [
+        t for t in ray.get(
+            orders.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        ) if t.num_columns > 0
+    ]
     out_schema = pa.schema([
         ("o_orderpriority", pa.string()), ("n", pa.int64()),
         ("cents", pa.int64()), ("share", pa.float64()),
@@ -1720,12 +1721,17 @@ def orders_priority_share(sf_dir: str) -> ray.data.Dataset:
     if not parts or sum(t.num_rows for t in parts) == 0:
         return ray.data.from_arrow(out_schema.empty_table())
     t = pa.concat_tables(parts)
-    cents = t["cents"].to_numpy(zero_copy_only=False)
+    prio = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(prio, return_inverse=True)
+    n = np.bincount(inv, weights=t["n"].to_numpy(zero_copy_only=False)).astype(np.int64)
+    cents = np.bincount(
+        inv, weights=t["cents"].to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
     total = float(cents.sum())
     return ray.data.from_arrow(pa.table({
-        "o_orderpriority": t["o_orderpriority"],
-        "n": t["n"],
-        "cents": t["cents"],
+        "o_orderpriority": pa.array(uniq, pa.string()),
+        "n": pa.array(n, pa.int64()),
+        "cents": pa.array(cents, pa.int64()),
         "share": pa.array(cents.astype(np.float64) / total, pa.float64()),
     }))
 
@@ -2335,15 +2341,15 @@ def _orders_grouping_sets(sf_dir: str, sets: list[list[str]]) -> ray.data.Datase
             "total_cents": pa.array(tc, pa.int64()),
         })
 
-    fine = (
-        orders.map_batches(partial, batch_format="pyarrow")
-        .groupby(["o_orderpriority", "o_orderstatus"])
-        .aggregate(Sum("n", alias_name="n"), Sum("total_cents", alias_name="total_cents"))
-    )
-    # key-domain-bounded collect (≤ |priorities|×|statuses| rows by
-    # construction — the aggregate, not the data); Ray's groupby emits
-    # schemaless empty blocks for empty hash partitions, drop them
-    parts = [t for t in ray.get(fine.to_arrow_refs()) if t.num_columns > 0]
+    # key-domain-bounded collect: each batch's partial is ≤
+    # |priorities|×|statuses| rows, so the driver sees ≤ that × blocks and
+    # the level() fold below re-aggregates — a distributed groupby between
+    # the combiner and a driver fold this small is pure all-to-all overhead
+    parts = [
+        t for t in ray.get(
+            orders.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        ) if t.num_columns > 0
+    ]
     if not parts or sum(t.num_rows for t in parts) == 0:
         # SQL ROLLUP/CUBE over empty input still emits the () grouping set:
         # one grand-total row with count 0 and a NULL sum
