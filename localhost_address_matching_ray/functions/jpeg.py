@@ -272,7 +272,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             scan = []
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cs)
+                comp = next((x for x in comps if x["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(f"JPEG: scan references unknown component {cs}")
                 comp["dc"] = huff_dc[tables >> 4]
                 comp["ac"] = huff_ac[tables & 0xF]
                 scan.append(comp)

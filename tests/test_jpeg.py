@@ -163,3 +163,32 @@ def test_multimodal_jpeg_features_and_resize():
     assert len(jpegs) > 10
     for p in jpegs[:5]:
         assert decode_jpeg(p).shape == (12, 16, 3)
+
+
+def test_decoder_fuzz_truncation_and_corruption_never_crash_uncontrolled():
+    """Truncated or bit-flipped streams must raise a controlled exception
+    (ValueError / NotImplementedError / bounds errors) — never hang, crash
+    the interpreter, or leak StopIteration out of the marker walk."""
+    from localhost_address_matching_ray.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    allowed = (ValueError, NotImplementedError, IndexError, KeyError,
+               OverflowError, struct.error)
+    for payload, dec in [
+        (encode_jpeg(img, quality=80), decode_jpeg),
+        (encode_png(img), decode_png),
+    ]:
+        for cut in range(1, len(payload), max(1, len(payload) // 40)):
+            try:
+                dec(payload[:cut])
+            except allowed:
+                pass
+        for _ in range(80):
+            b = bytearray(payload)
+            i = int(rng.integers(2, len(b)))
+            b[i] ^= int(rng.integers(1, 256))
+            try:
+                dec(bytes(b))
+            except allowed:
+                pass
