@@ -3262,6 +3262,28 @@ def doc_learned_vocab(sf_dir: str) -> ray.data.Dataset:
 
 
 @register(
+    "doc_bpe_merges", None,
+    "tokenizer training (Sennrich et al. BPE) over the word-frequency "
+    "table: per merge iteration, hash(pair)-bucketed exact pair totals "
+    "emit ONE candidate row per bucket and the driver holds only the "
+    "ranked merge list (the model artifact) — iterative distributed "
+    "argmax+rewrite, not SQL-expressible (rows-only; the pytest "
+    "cross-check pins it against the single-process textbook loop)",
+)
+def doc_bpe_merges(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.pipelines.train import bpe_learn
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    merges, _ = bpe_learn(docs, n_merges=12)
+    return ray.data.from_arrow(pa.table({
+        "rank": pa.array(np.arange(len(merges)), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+    }))
+
+
+@register(
     "events_funnel",
     """
 WITH f AS (

@@ -216,3 +216,239 @@ def doc_token_type_counts(
         lambda t: t.filter(pc.greater_equal(t["n"], min_count)),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------- BPE learn
+#
+# Tokenizer training is the other "training third" a large-scale
+# text-data engine needs (Sennrich et al. 2016, "Neural Machine
+# Translation of Rare Words with Subword Units" — the classic byte-pair
+# encoding over a WORD-FREQUENCY table, the standard trick that makes
+# BPE corpus-size-independent: the corpus collapses to (word, count)
+# once, and every merge iteration runs over the unique-word table).
+#
+# Distributed shape per merge iteration (nothing corpus-sized after the
+# initial word count):
+#   word table (symbols list<string>, n)   — stays a distributed Dataset
+#     → map_batches: adjacent-pair partial counts, bucketed by hash(pair)
+#     → groupby(bucket).map_groups: exact per-pair totals (a pair lives in
+#       exactly one bucket) folded by Arrow group_by; emit ONE top row per
+#       bucket (max count, ties → lexicographically smallest pair)
+#     → driver argmax over ≤ bucket_width() candidate rows
+#     → map_batches: apply the merge to every word's symbol sequence
+# The driver only ever holds the merge list (the model artifact) and one
+# candidate row per bucket — never words, never the corpus.
+
+
+def _word_symbols(word: str) -> list[str]:
+    return list(word) + ["</w>"]
+
+
+def word_frequency_table(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """documents(text) → distributed (word, n) counts over the normalized,
+    lowercased, whitespace-split text — per-batch Arrow group-by combiners,
+    then a hash(word)-bucketed exact fold (the repo_lang_profile idiom)."""
+    from localhost_address_matching_ray.config import bucket_width
+    from localhost_address_matching_ray.functions.hashing import TokenHasher
+    from localhost_address_matching_ray.functions.normalize import (
+        normalize_content_arrow,
+    )
+
+    nb = bucket_width()
+    _state: dict = {}
+
+    def partial(t: pa.Table) -> pa.Table:
+        norm = pc.utf8_lower(normalize_content_arrow(t["text"]))
+        lists = pc.split_pattern(norm, pattern=" ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))  # drop empty-doc tokens
+        if len(flat) == 0:
+            return pa.table({
+                "word": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "ub": pa.array([], pa.int64()),
+            })
+        cnt = pa.table({"word": flat}).group_by("word").aggregate(
+            [([], "count_all")]
+        ).rename_columns(["word", "n"])
+        hasher = _state.setdefault("h", TokenHasher())
+        ub = hasher.hash_token_array(cnt["word"].combine_chunks()) % np.uint64(nb)
+        return cnt.append_column("ub", pa.array(ub.astype(np.int64)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        out = g.select(["word", "n"]).group_by("word").aggregate([("n", "sum")])
+        return out.rename_columns(["word", "n"])
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def _pair_counts_batch(t: pa.Table, nb: int) -> pa.Table:
+    """(symbols, n) batch → (a, b, c, ub) adjacent-pair partial counts."""
+    counts: dict = {}
+    ns = t["n"].to_numpy(zero_copy_only=False)
+    for syms, n in zip(t["symbols"].to_pylist(), ns):
+        n = int(n)
+        for a, b in zip(syms, syms[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + n
+    if not counts:
+        return pa.table({
+            "a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+            "c": pa.array([], pa.int64()), "ub": pa.array([], pa.int64()),
+        })
+    pairs = list(counts)
+    ub = [hash_pair(a, b) % nb for a, b in pairs]
+    return pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.string()),
+        "b": pa.array([p[1] for p in pairs], pa.string()),
+        "c": pa.array([counts[p] for p in pairs], pa.int64()),
+        "ub": pa.array(ub, pa.int64()),
+    })
+
+
+def hash_pair(a: str, b: str) -> int:
+    """Deterministic (process-independent) bucket hash for a symbol pair."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.sha256((a + "\x00" + b).encode("utf-8")).digest()[:8], "big"
+    )
+
+
+def _bucket_top_pair(g: pa.Table) -> pa.Table:
+    """Exact per-pair totals inside one bucket, then the bucket's single
+    best candidate (max count, ties → lexicographically smallest (a, b))."""
+    empty = pa.table({
+        "a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+        "c": pa.array([], pa.int64()),
+    })
+    if g.num_rows == 0:
+        return empty
+    tot = g.select(["a", "b", "c"]).group_by(["a", "b"]).aggregate(
+        [("c", "sum")]
+    ).rename_columns(["a", "b", "c"])
+    c = tot["c"].to_numpy(zero_copy_only=False)
+    best = np.flatnonzero(c == c.max())
+    if len(best) > 1:  # tie-break inside the bucket
+        aa = np.asarray(tot["a"].to_pylist(), dtype=object)[best]
+        bb = np.asarray(tot["b"].to_pylist(), dtype=object)[best]
+        order = np.lexsort((bb, aa))
+        best = best[order[:1]]
+    return tot.take(pa.array(best[:1]))
+
+
+def bpe_learn(
+    docs: ray.data.Dataset, n_merges: int = 12, min_pair_count: int = 2,
+) -> tuple[list[tuple[str, str, int]], ray.data.Dataset]:
+    """Learn ``n_merges`` BPE merges over the documents' word-frequency
+    table. Returns ``(merges, words)`` where merges is the ranked list of
+    ``(left, right, pair_count)`` (the model artifact — the only thing the
+    driver holds) and words is the final segmented word table
+    ``(word, symbols, n)``. Stops early when no pair reaches
+    ``min_pair_count``."""
+    from localhost_address_matching_ray.config import bucket_width
+
+    nb = bucket_width()
+    words = word_frequency_table(docs).map_batches(
+        lambda t: pa.table({
+            "word": t["word"],
+            "symbols": pa.array(
+                [_word_symbols(w) for w in t["word"].to_pylist()],
+                pa.list_(pa.string()),
+            ),
+            "n": t["n"],
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        cand_tbls = [
+            t for t in ray.get(
+                words.map_batches(
+                    lambda t: _pair_counts_batch(t, nb), batch_format="pyarrow"
+                )
+                .groupby("ub")
+                .map_groups(_bucket_top_pair, batch_format="pyarrow")
+                .to_arrow_refs()
+            ) if t.num_columns > 0
+        ]
+        if not cand_tbls:
+            break
+        cand = pa.concat_tables(cand_tbls)
+        if cand.num_rows == 0:
+            break
+        c = cand["c"].to_numpy(zero_copy_only=False)
+        best = np.flatnonzero(c == c.max())
+        if len(best) > 1:  # global tie-break across bucket candidates
+            aa = np.asarray(cand["a"].to_pylist(), dtype=object)[best]
+            bb = np.asarray(cand["b"].to_pylist(), dtype=object)[best]
+            order = np.lexsort((bb, aa))
+            best = best[order[:1]]
+        i = int(best[0])
+        a, b, cnt = (cand["a"][i].as_py(), cand["b"][i].as_py(),
+                     int(cand["c"][i].as_py()))
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b, cnt))
+
+        def apply_merge(t: pa.Table, a=a, b=b) -> pa.Table:
+            merged = a + b
+            out = []
+            for syms in t["symbols"].to_pylist():
+                res = []
+                k = 0
+                while k < len(syms):
+                    if k + 1 < len(syms) and syms[k] == a and syms[k + 1] == b:
+                        res.append(merged)
+                        k += 2
+                    else:
+                        res.append(syms[k])
+                        k += 1
+                out.append(res)
+            return pa.table({
+                "word": t["word"],
+                "symbols": pa.array(out, pa.list_(pa.string())),
+                "n": t["n"],
+            })
+
+        words = words.map_batches(apply_merge, batch_format="pyarrow").materialize()
+    return merges, words
+
+
+def bpe_learn_reference(
+    word_counts: dict[str, int], n_merges: int = 12, min_pair_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Single-process reference implementation (tests cross-check the
+    distributed path against this, Sennrich et al.'s textbook loop)."""
+    words = {w: _word_symbols(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for w, syms in words.items():
+            n = word_counts[w]
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b, cnt))
+        for w, syms in words.items():
+            res, k = [], 0
+            while k < len(syms):
+                if k + 1 < len(syms) and syms[k] == a and syms[k + 1] == b:
+                    res.append(a + b)
+                    k += 2
+                else:
+                    res.append(syms[k])
+                    k += 1
+            words[w] = res
+    return merges
