@@ -3284,6 +3284,22 @@ def doc_bpe_merges(sf_dir: str) -> ray.data.Dataset:
 
 
 @register(
+    "doc_bpe_token_counts", None,
+    "BPE apply path: learn 12 merges, broadcast the vocab-sized "
+    "(word → segment-length) map with a stated ceiling, and count each "
+    "document's BPE tokens in one pc.index_in pass (unseen words fall "
+    "back to chars+1, BPE's no-merges segmentation) — rows-only; the "
+    "pytest cross-check pins per-doc counts against the textbook "
+    "single-process segmentation",
+)
+def doc_bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
+    from localhost_address_matching_ray.pipelines.train import bpe_token_counts
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return bpe_token_counts(docs, n_merges=12)
+
+
+@register(
     "events_funnel",
     """
 WITH f AS (

@@ -452,3 +452,82 @@ def bpe_learn_reference(
                     k += 1
             words[w] = res
     return merges
+
+
+def bpe_token_counts(
+    docs: ray.data.Dataset, n_merges: int = 12,
+    word_broadcast_max: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Learn ``n_merges`` BPE merges, then segment every document with
+    them: ``(doc_id, n_words, n_bpe_tokens)``. The apply path broadcasts
+    the (word → segment-length) map once (vocab-sized; ceiling-guarded)
+    and resolves each doc's words with one C++ hash lookup pass
+    (``pc.index_in``) — unseen words (impossible when segmenting the
+    training corpus itself, possible for held-out docs) fall back to
+    their character count + 1, BPE's no-merges-apply segmentation."""
+    from localhost_address_matching_ray.functions.normalize import (
+        normalize_content_arrow,
+    )
+
+    _, words = bpe_learn(docs, n_merges=n_merges)
+    n_vocab = words.count()
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_words", pa.int64()),
+        ("n_bpe_tokens", pa.int64()),
+    ])
+    if n_vocab > word_broadcast_max:
+        raise ValueError(
+            f"bpe_token_counts broadcasts the {n_vocab}-word segment map "
+            f"(cap {word_broadcast_max}); shard the vocabulary or raise "
+            "the cap on a larger-heap cluster"
+        )
+    w_tbls = [
+        t for t in ray.get(words.to_arrow_refs()) if t.num_columns > 0
+    ]
+    if not w_tbls:  # empty corpus: every doc counts 0 tokens
+        w_tbls = [pa.schema([
+            ("word", pa.string()), ("symbols", pa.list_(pa.string())),
+            ("n", pa.int64()),
+        ]).empty_table()]
+    wt = pa.concat_tables(w_tbls)
+    seg_len = pc.list_value_length(wt["symbols"]).to_numpy(zero_copy_only=False)
+    import ray as _ray
+
+    map_ref = _ray.put((wt["word"].combine_chunks(), seg_len.astype(np.int64)))
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        vocab, lens = _ray.get(map_ref)
+        norm = pc.utf8_lower(normalize_content_arrow(t["text"]))
+        lists = pc.split_pattern(norm, pattern=" ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        word_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        nonempty = word_lens > 0
+        if len(vocab):
+            ix = pc.index_in(flat, value_set=vocab).to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            ix = np.full(len(flat), np.nan)
+        hit = ~np.isnan(ix)
+        per_word = np.where(
+            hit, lens[np.where(hit, ix, 0).astype(np.int64)],
+            word_lens + 1,  # chars + </w>: the no-merges segmentation
+        )
+        per_word = np.where(nonempty, per_word, 0)
+        row_lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(row_lens)))
+        csum = np.concatenate(([0], np.cumsum(per_word)))
+        wsum = np.concatenate(([0], np.cumsum(nonempty.astype(np.int64))))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(wsum[offs[1:]] - wsum[offs[:-1]], pa.int64()),
+            "n_bpe_tokens": pa.array(
+                csum[offs[1:]] - csum[offs[:-1]], pa.int64()
+            ),
+        })
+
+    return docs.map_batches(count_batch, batch_format="pyarrow")

@@ -84,3 +84,53 @@ def test_registered_bpe_query_runs():
     assert list(out.columns) == ["rank", "left", "right", "pair_count"]
     assert (np.diff(out["pair_count"].to_numpy()) <= 0).all() or True
     assert out["pair_count"].min() >= 2
+
+
+def test_bpe_token_counts_match_reference_segmentation():
+    import pyarrow as pa
+
+    from localhost_address_matching_ray.functions.normalize import (
+        normalize_content,
+    )
+    from localhost_address_matching_ray.pipelines.train import (
+        _word_symbols,
+        bpe_token_counts,
+    )
+
+    texts = [
+        "the lower river flows lower and lower",
+        "newest widest newest",
+        "",
+        "low lower lowest",
+    ]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    out = {r["doc_id"]: r for r in bpe_token_counts(docs, n_merges=6).take_all()}
+    assert len(out) == len(texts)
+
+    # reference: learn the same merges single-process, segment, count
+    wc = collections.Counter()
+    for t in texts:
+        n = normalize_content(t).lower()
+        if n:
+            wc.update(w for w in n.split(" ") if w)
+    merges = bpe_learn_reference(dict(wc), n_merges=6)
+    seg = {w: _word_symbols(w) for w in wc}
+    for a, b, _ in merges:
+        for w, syms in seg.items():
+            res, k = [], 0
+            while k < len(syms):
+                if k + 1 < len(syms) and syms[k] == a and syms[k + 1] == b:
+                    res.append(a + b)
+                    k += 2
+                else:
+                    res.append(syms[k])
+                    k += 1
+            seg[w] = res
+    for i, t in enumerate(texts):
+        n = normalize_content(t).lower()
+        ws = [w for w in n.split(" ") if w] if n else []
+        assert out[i]["n_words"] == len(ws), (i, t)
+        assert out[i]["n_bpe_tokens"] == sum(len(seg[w]) for w in ws), (i, t)
