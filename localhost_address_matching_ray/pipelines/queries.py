@@ -276,11 +276,8 @@ def corpus_pair_scores(sf_dir: str) -> ray.data.Dataset:
             for c in group["content"].to_pylist()
         ]
         us, vs, js, se = [], [], [], []
-        from localhost_address_matching_ray.stages.docs_ops import _pairwise_jaccard_block
-
         # vectorized screen at 0.97, then exact recompute of survivors
         k = len(ids)
-        import numpy as np
         vocab: dict[str, int] = {}
         rows, cols = [], []
         for i, s in enumerate(sets):

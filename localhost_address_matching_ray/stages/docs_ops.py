@@ -21,7 +21,6 @@ import ray.data
 
 logger = logging.getLogger(__name__)
 
-from localhost_address_matching_ray.config import PipelineConfig
 from localhost_address_matching_ray.functions.hashing import (
     MinHasher,
     SimHasher,
